@@ -1,0 +1,67 @@
+"""Typed configuration for the whole engine.
+
+The reference scatters its knobs over module constants and argv
+(reference tools.py:99-106, indexer.py:480-491, merger.py:51-59); here they are
+one typed config. Defaults are value-identical so recorded metadata
+(``flush_every``, ``frag_size``) and CLI behaviour match the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+DEFAULT_FLUSH_EVERY = 100_000_000
+DEFAULT_MIN_FRAG_SIZE = 500_000_000
+DEFAULT_MAX_FRAG_SIZE = 1_000_000_000
+DEFAULT_MIN_COUNT = 1
+DEFAULT_MAX_COUNT = 255
+DEFAULT_BLOCK_SIZE = 100_000_000
+DEFAULT_THREADS = 4
+MAX_VAL = 255  # uint8 saturation ceiling (reference tools.py:217)
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexConfig:
+    """Configuration of one indexing run (FASTA → .kin)."""
+
+    kmer_len: int
+    # host→device streaming: number of window starts per device chunk
+    chunk_windows: int = 1 << 24
+    # kmer codes buffered on device before a dense-array accumulate
+    flush_every: int = DEFAULT_FLUSH_EVERY
+    min_frag_size: int = DEFAULT_MIN_FRAG_SIZE
+    max_frag_size: int = DEFAULT_MAX_FRAG_SIZE
+    # device strategy: "auto" | "device" (HBM-resident dense array) | "host"
+    # (host-RAM dense array for count spaces exceeding HBM, e.g. K=17 1-chip)
+    accumulate: str = "auto"
+
+    def __post_init__(self) -> None:
+        if self.kmer_len <= 0 or self.kmer_len % 2 == 0:
+            raise ValueError(
+                f"kmer_len must be a positive odd integer, got {self.kmer_len}"
+            )
+
+
+@dataclasses.dataclass(frozen=True)
+class MergeConfig:
+    """Configuration of one merge run (N×.kin → .kma)."""
+
+    min_count: int = DEFAULT_MIN_COUNT
+    max_count: int = DEFAULT_MAX_COUNT
+    block_size: int = DEFAULT_BLOCK_SIZE
+    threads: int = DEFAULT_THREADS
+    # device engine: bit-pack validity masks once per sample, AND+popcount pairs
+    engine: str = "auto"  # "auto" | "device" | "stream"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh shape for sharded runs.
+
+    ``shards`` range-shards the 4^K count space (low-bit interleaved for load
+    balance); ``data`` is the data-parallel axis (multi-host: one group per
+    host, partial histograms merged with a saturating reduce at finalize).
+    """
+
+    shards: int = 1
+    data: int = 1
