@@ -1,0 +1,238 @@
+"""The indexing pipeline: FASTA → `.kin` + `.kin.json`.
+
+Reference call stack being replaced (indexer.py:299-414): a per-base Python
+loop feeding a 100M-element flush buffer and a fragment-wise memmap update.
+Here the host decodes/concatenates base codes once, streams fixed-size
+overlapping chunks to the device, and a single jitted step per chunk fuses
+canonical-code computation with the saturating dense-array update. The dense
+array lives donated on-device for the whole run ("device" strategy) or in
+host RAM when the count space exceeds HBM ("host" strategy, e.g. K=17 on one
+chip — multi-chip runs range-shard it instead, see parallel/).
+
+Output files are byte-identical to the reference's (atomic tmp+rename,
+identical metadata JSON modulo wall-clock provenance).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..formats import kin as kinfmt
+from ..formats.header import KinHeader
+from ..io.fasta import FastaRecord, read_fasta_codes
+from ..ops.encode import chunk_stream, iter_chunks
+from ..utils.timer import Timer
+
+PRINT_EVERY = 25_000_000  # progress cadence in bp (reference indexer.py:45)
+
+
+def _record_has_valid_window(codes: np.ndarray, kmer_len: int) -> bool:
+    """True iff the record yields at least one k-mer: a run of >=K valid bases."""
+    if codes.shape[0] < kmer_len:
+        return False
+    valid = (codes < 4).astype(np.int32)
+    # longest run via cumulative-sum-reset trick
+    csum = np.cumsum(valid)
+    reset = np.where(valid == 0, csum, 0)
+    best = csum - np.maximum.accumulate(reset)
+    return bool(best.max() >= kmer_len)
+
+
+def _concat_records(
+    records: List[FastaRecord], kmer_len: int
+) -> Tuple[np.ndarray, List[Tuple[str, int]], int]:
+    """Concatenate record codes with K-1 invalid separator bases.
+
+    Separators poison every window that would span two records, so the flat
+    stream yields exactly the per-record k-mers. Returns (stream,
+    chromosomes, total_bp); ``chromosomes`` lists (name, seq_len) for records
+    producing at least one k-mer, in order (reference indexer.py:345-351
+    omits barren records).
+    """
+    sep = np.full(kmer_len - 1, 4, dtype=np.uint8)
+    parts: List[np.ndarray] = []
+    chromosomes: List[Tuple[str, int]] = []
+    total_bp = 0
+    for rec in records:
+        total_bp += rec.seq_len
+        if parts:
+            parts.append(sep)
+        parts.append(rec.codes)
+        if _record_has_valid_window(rec.codes, kmer_len):
+            chromosomes.append((rec.name, rec.seq_len))
+    stream = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    return stream, chromosomes, total_bp
+
+
+def create_fasta_index(
+    project_name: str,
+    sample_name: str,
+    input_file: str,
+    kmer_len: int,
+    overwrite: bool = True,
+    config: Optional[IndexConfig] = None,
+    verify: bool = True,
+    verbose: bool = True,
+) -> KinHeader:
+    """Build one `.kin` index (single-host entry point)."""
+    config = config or IndexConfig(kmer_len=kmer_len)
+    assert config.kmer_len == kmer_len
+
+    header = KinHeader(
+        project_name,
+        input_file=input_file,
+        kmer_len=kmer_len,
+        flush_every=config.flush_every,
+        min_frag_size=config.min_frag_size,
+        max_frag_size=config.max_frag_size,
+    )
+    data_size = header.data_size
+    if verbose:
+        print(
+            f"project_name {project_name} sample_name {sample_name} "
+            f"kmer_len {kmer_len:15,d} kmer_size {data_size:15,d}"
+        )
+
+    kinfmt.remove_outputs(input_file, kmer_len, overwrite)
+
+    timer = header.timer
+    records = read_fasta_codes(input_file)
+    stream, chromosomes, total_bp = _concat_records(records, kmer_len)
+    if total_bp >= PRINT_EVERY:
+        timer.update(total_bp)
+    if verbose:
+        print(f"  records {len(records):7,d} bp {total_bp:15,d}")
+
+    strategy = config.accumulate
+    if strategy == "auto":
+        # dense uint8 + sort workspace must fit HBM comfortably
+        strategy = "device" if data_size <= (4 << 30) else "host"
+
+    if stream.shape[0] >= kmer_len:
+        padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
+        if strategy == "device":
+            dense_np, num_kmers = _accumulate_device(
+                padded, n_chunks, kmer_len, config, data_size, timer, verbose
+            )
+        else:
+            dense_np, num_kmers = _accumulate_host(
+                padded, n_chunks, kmer_len, config, data_size, timer, verbose
+            )
+    else:
+        dense_np, num_kmers = np.zeros(data_size, dtype=np.uint8), 0
+
+    if num_kmers == 0:
+        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+    if total_bp >= PRINT_EVERY:
+        timer.update(total_bp)
+
+    tmp = header.index_tmp_file
+    kinfmt.write_kin_array(tmp, dense_np)
+
+    header.num_kmers = int(num_kmers)
+    header.chromosomes = chromosomes
+    header.write_metadata(tmp, stats_counts256=np.bincount(dense_np, minlength=256))
+
+    if verify:
+        # reference's end-to-end invariant (indexer.py:406-407): stats derived
+        # from the written file must equal the in-memory ones
+        fresh = KinHeader(project_name, input_file=input_file, kmer_len=kmer_len)
+        fresh.update_stats_from_file(tmp)
+        if fresh.hist != header.hist or fresh.vals_sum != header.vals_sum:
+            raise AssertionError("written .kin does not match computed stats")
+
+    os.rename(tmp, header.index_file_root)
+    if verbose:
+        print("done")
+    return header
+
+
+def _accumulate_device(
+    padded: np.ndarray,
+    n_chunks: int,
+    kmer_len: int,
+    config: IndexConfig,
+    data_size: int,
+    timer: Timer,
+    verbose: bool,
+) -> Tuple[np.ndarray, int]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.encode import canonical_codes
+    from ..ops.histogram import saturating_accumulate
+
+    span = config.chunk_windows + kmer_len - 1
+
+    def step(dense, chunk):
+        codes = canonical_codes(chunk, kmer_len)
+        return saturating_accumulate(dense, codes, sentinel=data_size)
+
+    step_jit = jax.jit(step, donate_argnums=0)
+
+    dense = jnp.zeros(data_size, dtype=jnp.uint8)
+    num_kmers = 0
+    done_windows = 0
+    for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
+        dense, nvalid = step_jit(dense, jnp.asarray(chunk))
+        num_kmers += int(nvalid)
+        done_windows += config.chunk_windows
+        if verbose and n_chunks > 1:
+            print(
+                f"  chunk windows {done_windows:15,d} "
+                f"kmers {num_kmers:15,d}"
+            )
+    return np.asarray(jax.device_get(dense)), num_kmers
+
+
+def _accumulate_host(
+    padded: np.ndarray,
+    n_chunks: int,
+    kmer_len: int,
+    config: IndexConfig,
+    data_size: int,
+    timer: Timer,
+    verbose: bool,
+) -> Tuple[np.ndarray, int]:
+    """Host-RAM dense array; device computes + sorts codes per chunk.
+
+    For count spaces exceeding single-chip HBM (K=17: 17 GiB). The device
+    returns sorted codes; the host applies a saturating segment update.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.encode import canonical_codes
+
+    def encode_sort(chunk):
+        codes = canonical_codes(chunk, kmer_len)
+        return jnp.sort(codes)
+
+    encode_jit = jax.jit(encode_sort)
+
+    dense = np.zeros(data_size, dtype=np.uint8)
+    num_kmers = 0
+    for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
+        sorted_codes = np.asarray(encode_jit(jnp.asarray(chunk)))
+        valid = sorted_codes[sorted_codes < data_size]
+        num_kmers += int(valid.shape[0])
+        if valid.shape[0] == 0:
+            continue
+        uniq, counts = _unique_sorted(valid)
+        old = dense[uniq].astype(np.int64)
+        dense[uniq] = np.minimum(old + np.minimum(counts, 255), 255).astype(np.uint8)
+    return dense, num_kmers
+
+
+def _unique_sorted(sorted_vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """np.unique(return_counts) specialised for an already-sorted array."""
+    is_start = np.empty(sorted_vals.shape[0], dtype=bool)
+    is_start[0] = True
+    np.not_equal(sorted_vals[1:], sorted_vals[:-1], out=is_start[1:])
+    starts = np.flatnonzero(is_start)
+    counts = np.diff(np.append(starts, sorted_vals.shape[0]))
+    return sorted_vals[starts], counts

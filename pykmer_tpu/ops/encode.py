@@ -1,0 +1,104 @@
+"""Canonical k-mer encoding as a vectorised XLA program.
+
+Semantics (must match reference indexer.py:130-160 and indexer.py:341):
+forward code ``sum_p base[i+p] * 4^(K-1-p)``; reverse-complement code
+``sum_p (3 - base[i+p]) * 4^p``; canonical = min(fwd, rev); any window
+containing an invalid base (code >= 4) is dropped. Dropped/padded windows
+encode as the sentinel ``4^K`` so downstream static-shape code can carry them.
+
+Layout: instead of a per-window Python loop, a chunk of ``S + K - 1`` base
+codes yields all ``S`` window codes at once from K shifted slices — the
+vectorised formulation hinted at by the reference's unused numpy prototype
+(tools.py:562-675), but strided rather than phase-blocked so every window is
+produced by one fused elementwise expression (VPU-friendly, no MXU needed:
+the polynomial weights are powers of 4 applied per-slice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def code_dtype(kmer_len: int):
+    """Smallest integer dtype holding 4^K (plus the invalid-base headroom).
+
+    fwd sums reach ``4 * (4^K - 1) / 3`` when invalid bases (code 4) are
+    present, so K=15 still fits int32 (1.43e9 < 2^31); K>=17 needs int64.
+    """
+    return jnp.int32 if kmer_len <= 15 else jnp.int64
+
+
+def SENTINEL_FACTORY(kmer_len: int) -> int:
+    return 4**kmer_len
+
+
+def canonical_codes(chunk: jax.Array, kmer_len: int) -> jax.Array:
+    """All window codes of a chunk.
+
+    chunk: uint8[(S + K - 1)] base codes (0..3 valid, >=4 invalid).
+    returns: [S] canonical codes in ``code_dtype``; invalid windows = 4^K.
+    """
+    k = kmer_len
+    s = chunk.shape[0] - k + 1
+    assert s > 0, "chunk shorter than one window"
+    dt = code_dtype(k)
+    x = chunk.astype(dt)
+
+    fwd = jnp.zeros((s,), dtype=dt)
+    rev = jnp.zeros((s,), dtype=dt)
+    bad = jnp.zeros((s,), dtype=jnp.uint8)
+    for p in range(k):
+        sl = jax.lax.dynamic_slice_in_dim(x, p, s)
+        fwd = fwd + sl * (4 ** (k - p - 1))
+        rev = rev + (3 - sl) * (4**p)
+        bad = bad | (chunk[p : p + s] >= 4)
+
+    canon = jnp.minimum(fwd, rev)
+    sentinel = jnp.asarray(4**k, dtype=dt)
+    return jnp.where(bad.astype(bool), sentinel, canon)
+
+
+def make_canonical_codes_fn(
+    kmer_len: int, chunk_windows: int
+) -> Callable[[jax.Array], jax.Array]:
+    """jit-compiled encoder for fixed (K, S)."""
+
+    @jax.jit
+    def fn(chunk: jax.Array) -> jax.Array:
+        assert chunk.shape == (chunk_windows + kmer_len - 1,)
+        return canonical_codes(chunk, kmer_len)
+
+    return fn
+
+
+def chunk_stream(
+    concat_codes: np.ndarray, kmer_len: int, chunk_windows: int
+) -> Tuple[np.ndarray, int]:
+    """Host-side framing: pad the concatenated code stream so it splits into
+    fixed-size chunks of ``chunk_windows`` window starts with K-1 halo overlap.
+
+    Returns (padded array, number of chunks). Padding uses the invalid code 4,
+    so windows that touch padding are dropped on device.
+    """
+    k = kmer_len
+    n = concat_codes.shape[0]
+    n_windows = max(n - k + 1, 0)
+    n_chunks = max((n_windows + chunk_windows - 1) // chunk_windows, 1)
+    need = n_chunks * chunk_windows + k - 1
+    if need > n:
+        pad = np.full(need - n, 4, dtype=np.uint8)
+        concat_codes = np.concatenate([concat_codes, pad])
+    return concat_codes, n_chunks
+
+
+def iter_chunks(padded: np.ndarray, kmer_len: int, chunk_windows: int, n_chunks: int):
+    """Yield the overlapping device chunks of a padded stream."""
+    span = chunk_windows + kmer_len - 1
+    for c in range(n_chunks):
+        start = c * chunk_windows
+        yield padded[start : start + span]

@@ -1,0 +1,82 @@
+"""Saturating dense-histogram accumulation on device.
+
+The `.kin` array is ``min(total_count, 255)`` per canonical code — the
+reference's two-stage clipping (per-flush clip at indexer.py:239 plus
+saturating memmap add at indexer.py:262) composes to exactly that, so
+accumulation order and batching cannot change the result (the test-suite
+proves this against the flush-faithful oracle).
+
+Algorithm per batch (all static shapes, no data-dependent control flow):
+  1. sort the batch's codes (sentinels 4^K sort to the end);
+  2. run-length analysis with two associative scans (run start = prefix-max of
+     start indices, run end = suffix-min of next-start indices) — every
+     element of a run learns its run's total count without any scatter;
+  3. gather current dense values at the sorted codes, compute
+     ``min(old + count, 255)``, and scatter-overwrite. Duplicates all write
+     the same value and indices are sorted+in-range-checked, which XLA can
+     lower without serialising the whole update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MAX_VAL
+
+
+def saturating_accumulate(
+    dense: jax.Array, codes: jax.Array, sentinel: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Apply one batch of canonical codes to the dense uint8 array.
+
+    dense: uint8[D]; codes: int[M] (values in [0, D] where D==sentinel marks
+    dropped/padded windows). Returns (updated dense, number of valid codes).
+    """
+    m = codes.shape[0]
+    sorted_codes = jnp.sort(codes)
+    idx = jnp.arange(m, dtype=jnp.int32)
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sorted_codes[1:] != sorted_codes[:-1]]
+    )
+    start_idx = jnp.where(is_start, idx, -1)
+    run_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+
+    next_idx = jnp.where(is_start, idx, m)
+    suffix_min = jax.lax.associative_scan(jnp.minimum, next_idx, reverse=True)
+    run_end = jnp.concatenate([suffix_min[1:], jnp.full((1,), m, jnp.int32)])
+
+    count = jnp.minimum(run_end - run_start, MAX_VAL)
+
+    valid = sorted_codes < sentinel
+    safe_idx = jnp.where(valid, sorted_codes, 0)
+    old = dense[safe_idx].astype(jnp.int32)
+    new = jnp.minimum(old + count, MAX_VAL).astype(jnp.uint8)
+
+    dense = dense.at[sorted_codes].set(
+        new, mode="drop", indices_are_sorted=True
+    )
+    num_valid = valid.sum(dtype=jnp.int64)
+    return dense, num_valid
+
+
+def make_accumulate_fn(data_size: int) -> Callable:
+    """jit-compiled accumulate with the dense array donated (updated in place)."""
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fn(dense: jax.Array, codes: jax.Array):
+        assert dense.shape == (data_size,)
+        return saturating_accumulate(dense, codes, sentinel=data_size)
+
+    return fn
+
+
+def counts256_from_dense(dense) -> "np.ndarray":
+    """256-bin value histogram of the dense array (host-side numpy)."""
+    import numpy as np
+
+    return np.bincount(np.asarray(dense), minlength=256)

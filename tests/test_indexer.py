@@ -1,0 +1,120 @@
+"""End-to-end indexer: byte parity with oracle and with the executed reference."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pykmer_tpu import testgen
+from pykmer_tpu.config import IndexConfig
+from pykmer_tpu.formats import kin as kinfmt
+from pykmer_tpu.index import create_fasta_index, read_fasta_index
+from pykmer_tpu.oracle import oracle_write_index
+from conftest import make_random_fasta
+
+
+def _file_bytes(path):
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+@pytest.mark.parametrize("kmer_len", [3, 5, 7])
+def test_indexer_matches_oracle_enumeration(tmp_path, kmer_len):
+    prefix = str(tmp_path / "ex")
+    fasta = testgen.create_test_fasta(prefix, kmer_len)
+
+    # small chunks to exercise the streaming/halo path
+    cfg = IndexConfig(kmer_len=kmer_len, chunk_windows=1000)
+    header = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg, verbose=False)
+    root = header.index_file_root
+    ours_kin = _file_bytes(root)
+    with open(header.metadata_file) as fh:
+        ours_meta = json.load(fh)
+    os.rename(root, root + ".ours")
+    os.remove(header.metadata_file)
+
+    oracle_write_index(fasta, fasta, kmer_len)
+    assert _file_bytes(root) == ours_kin
+    with open(header.metadata_file) as fh:
+        oracle_meta = json.load(fh)
+    volatile = {"creation_time_start", "creation_time_end", "creation_duration",
+                "output_file_ctime", "checksum_script"}
+    for key in oracle_meta:
+        if key not in volatile:
+            assert ours_meta[key] == oracle_meta[key], f"mismatch in {key}"
+
+
+def test_indexer_matches_oracle_random(tmp_path, rng):
+    fasta = make_random_fasta(str(tmp_path / "r.fa"), rng, n_records=6,
+                              lengths=(400, 33, 4, 900, 120, 77))
+    kmer_len = 5
+    cfg = IndexConfig(kmer_len=kmer_len, chunk_windows=64)
+    header = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg, verbose=False)
+    root = header.index_file_root
+    ours_kin = _file_bytes(root)
+    ours_meta = json.load(open(header.metadata_file))
+    os.rename(root, root + ".ours")
+    os.remove(header.metadata_file)
+
+    oracle_write_index(fasta, fasta, kmer_len)
+    assert _file_bytes(root) == ours_kin
+    oracle_meta = json.load(open(header.metadata_file))
+    assert ours_meta["num_kmers"] == oracle_meta["num_kmers"]
+    assert ours_meta["chromosomes"] == oracle_meta["chromosomes"]
+    assert ours_meta["hist"] == oracle_meta["hist"]
+    assert ours_meta["vals_sum"] == oracle_meta["vals_sum"]
+
+
+def test_indexer_host_strategy_matches_device(tmp_path, rng):
+    fasta = make_random_fasta(str(tmp_path / "h.fa"), rng, n_records=3,
+                              lengths=(300, 200, 100))
+    kmer_len = 5
+    cfg_d = IndexConfig(kmer_len=kmer_len, chunk_windows=128, accumulate="device")
+    header = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg_d, verbose=False)
+    kin_device = _file_bytes(header.index_file_root)
+    os.remove(header.index_file_root)
+    os.remove(header.metadata_file)
+
+    cfg_h = IndexConfig(kmer_len=kmer_len, chunk_windows=128, accumulate="host")
+    header = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg_h, verbose=False)
+    assert _file_bytes(header.index_file_root) == kin_device
+
+
+def test_indexer_matches_reference_random(tmp_path, rng):
+    """Full pipeline vs the executed reference on a messy random FASTA."""
+    from reference_runner import VOLATILE_KIN_JSON_KEYS, run_reference_indexer
+
+    fasta = make_random_fasta(str(tmp_path / "g.fa.gz"), rng, n_records=4,
+                              lengths=(250, 80, 10, 500), gzip_out=True)
+    kmer_len = 7
+    run_reference_indexer(fasta, "sample", kmer_len, str(tmp_path))
+    root = kinfmt.kin_root_path(fasta, kmer_len)
+    meta = kinfmt.metadata_path(fasta, kmer_len)
+    ref_kin = _file_bytes(root)
+    ref_meta = json.load(open(meta))
+    os.rename(root, root + ".ref")
+    os.remove(meta)
+
+    create_fasta_index(fasta, "sample", fasta, kmer_len, verbose=False)
+    assert _file_bytes(root) == ref_kin, "dense .kin differs from reference"
+    our_meta = json.load(open(meta))
+    assert set(our_meta) == set(ref_meta)
+    for key in ref_meta:
+        if key not in VOLATILE_KIN_JSON_KEYS:
+            assert our_meta[key] == ref_meta[key], f"mismatch in {key}"
+
+
+def test_overwrite_guard(tmp_path, rng):
+    fasta = make_random_fasta(str(tmp_path / "o.fa"), rng)
+    create_fasta_index(fasta, "s", fasta, 3, verbose=False)
+    with pytest.raises(FileExistsError):
+        create_fasta_index(fasta, "s", fasta, 3, overwrite=False, verbose=False)
+    create_fasta_index(fasta, "s", fasta, 3, overwrite=True, verbose=False)
+
+
+def test_read_fasta_index(tmp_path, rng):
+    fasta = make_random_fasta(str(tmp_path / "v.fa"), rng)
+    create_fasta_index(fasta, "s", fasta, 3, verbose=False)
+    header = read_fasta_index(fasta, input_file=fasta, kmer_len=3, verbose=False)
+    assert header.num_kmers > 0

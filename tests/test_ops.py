@@ -1,0 +1,97 @@
+"""Device ops vs the oracle: encoding, saturating histogram, mask compare."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pykmer_tpu.ops import (
+    canonical_codes,
+    code_dtype,
+    pack_validity_mask,
+    pair_counts_from_masks,
+    popcount_mask,
+    saturating_accumulate,
+)
+from pykmer_tpu.ops.encode import chunk_stream, iter_chunks
+from pykmer_tpu.oracle import oracle_canonical_codes, oracle_count_stream
+
+
+@pytest.mark.parametrize("kmer_len", [3, 5, 7])
+def test_canonical_codes_match_oracle(rng, kmer_len):
+    seq = rng.integers(0, 5, size=500).astype(np.uint8)  # includes invalid 4s
+    want = oracle_canonical_codes(seq, kmer_len)
+    got = np.asarray(canonical_codes(jnp.asarray(seq), kmer_len))
+    sentinel = 4**kmer_len
+    got_valid = got[got < sentinel]
+    assert np.array_equal(got_valid, want)
+    # invalid windows are exactly those containing a 4
+    k = kmer_len
+    for i in range(seq.shape[0] - k + 1):
+        is_valid = (seq[i : i + k] < 4).all()
+        assert (got[i] < sentinel) == is_valid
+
+
+def test_code_dtype_boundaries():
+    assert code_dtype(15) == jnp.int32
+    assert code_dtype(17) == jnp.int64
+
+
+def test_canonical_codes_k17_dtype(rng):
+    seq = rng.integers(0, 4, size=40).astype(np.uint8)
+    got = np.asarray(canonical_codes(jnp.asarray(seq), 17))
+    want = oracle_canonical_codes(seq, 17)
+    assert got.dtype == np.int64
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("size,nbatch", [(64, 1), (64, 5), (1024, 3)])
+def test_saturating_accumulate_matches_oracle(rng, size, nbatch):
+    dense = jnp.zeros(size, dtype=jnp.uint8)
+    batches = []
+    for _ in range(nbatch):
+        # heavy repetition to exercise saturation
+        codes = rng.integers(0, 8, size=700).astype(np.int64) * (size // 8)
+        codes = np.minimum(codes + rng.integers(0, 3, size=700), size - 1)
+        batches.append(codes)
+        # pad with sentinels
+        padded = np.concatenate([codes, np.full(41, size, dtype=np.int64)])
+        dense, nvalid = saturating_accumulate(
+            dense, jnp.asarray(padded), sentinel=size
+        )
+        assert int(nvalid) == codes.shape[0]
+    want = oracle_count_stream(batches, int(np.log2(size) // 2), flush_every=123)
+    assert np.array_equal(np.asarray(dense), want)
+
+
+def test_accumulate_empty_batch():
+    dense = jnp.zeros(64, dtype=jnp.uint8)
+    codes = jnp.full((16,), 64, dtype=jnp.int64)  # all sentinel
+    dense, nvalid = saturating_accumulate(dense, codes, sentinel=64)
+    assert int(nvalid) == 0
+    assert int(np.asarray(dense).sum()) == 0
+
+
+def test_chunk_stream_framing(rng):
+    k = 5
+    seq = rng.integers(0, 4, size=1000).astype(np.uint8)
+    want = oracle_canonical_codes(seq, k)
+    padded, n_chunks = chunk_stream(seq, k, chunk_windows=128)
+    got = []
+    for chunk in iter_chunks(padded, k, 128, n_chunks):
+        codes = np.asarray(canonical_codes(jnp.asarray(chunk), k))
+        got.append(codes[codes < 4**k])
+    got = np.concatenate(got)
+    assert np.array_equal(got, want)
+
+
+def test_pack_and_popcount(rng):
+    dense = rng.integers(0, 256, size=4096).astype(np.uint8)
+    other = rng.integers(0, 256, size=4096).astype(np.uint8)
+    for mn, mx in [(1, 255), (2, 100), (5, 5)]:
+        ma = pack_validity_mask(jnp.asarray(dense), mn, mx)
+        mb = pack_validity_mask(jnp.asarray(other), mn, mx)
+        av = (dense >= mn) & (dense <= mx)
+        bv = (other >= mn) & (other <= mx)
+        assert int(popcount_mask(ma)) == int(av.sum())
+        assert int(popcount_mask(mb)) == int(bv.sum())
+        assert int(pair_counts_from_masks(ma, mb)) == int((av & bv).sum())
