@@ -165,8 +165,25 @@ def decode_fasta_bytes(data: bytes) -> List[FastaRecord]:
 
 
 def read_fasta_codes(input_file: Optional[str]) -> List[FastaRecord]:
-    """Read + decode a FASTA file (plain, gz, bgz, or stdin)."""
-    return decode_fasta_bytes(open_input_bytes(input_file))
+    """Read + decode a FASTA file (plain, gz, bgz, or stdin).
+
+    Uses the C++ one-pass decoder when built (io/native), falling back to the
+    vectorised NumPy parse; both implement identical semantics (tested).
+    """
+    data = open_input_bytes(input_file)
+    try:
+        from .native import fasta_decode_native
+
+        result = fasta_decode_native(data)
+        if result is not None:
+            codes, starts, names = result
+            return [
+                FastaRecord(names[r], codes[starts[r] : starts[r + 1]])
+                for r in range(len(names))
+            ]
+    except ImportError:
+        pass
+    return decode_fasta_bytes(data)
 
 
 def iter_fasta_codes(input_file: Optional[str]) -> Iterator[FastaRecord]:

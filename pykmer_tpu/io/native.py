@@ -1,0 +1,116 @@
+"""ctypes bindings to the native C++ host-pipeline library.
+
+Builds ``libpykmer_native.so`` on first use (g++ + zlib; ~1s, cached). Every
+caller treats this module as optional: an ImportError here falls back to the
+pure-Python/NumPy implementations with identical semantics (verified by the
+test-suite, which runs both paths).
+
+Set ``PYKMER_TPU_NO_NATIVE=1`` to disable the native path entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpykmer_native.so")
+
+if os.environ.get("PYKMER_TPU_NO_NATIVE"):
+    raise ImportError("native library disabled via PYKMER_TPU_NO_NATIVE")
+
+
+def _build() -> None:
+    subprocess.run(
+        ["make", "-s", "-C", _NATIVE_DIR],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+
+
+if not os.path.exists(_LIB_PATH):
+    try:
+        _build()
+    except Exception as exc:  # pragma: no cover - toolchain missing
+        raise ImportError(f"cannot build native library: {exc}") from exc
+
+try:
+    _lib = ctypes.CDLL(_LIB_PATH)
+except OSError as exc:  # pragma: no cover
+    raise ImportError(f"cannot load native library: {exc}") from exc
+
+_lib.fasta_decode.restype = ctypes.c_long
+_lib.fasta_decode.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+]
+_lib.bgzf_compress_block.restype = ctypes.c_int
+_lib.bgzf_compress_block.argtypes = [
+    ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+]
+_lib.gzip_decompress.restype = ctypes.c_long
+_lib.gzip_decompress.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+]
+
+
+def fasta_decode_native(
+    data: bytes,
+) -> Optional[Tuple[np.ndarray, np.ndarray, List[str]]]:
+    """One-pass parse: returns (codes, per-record code offsets, names)."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64), []
+    max_recs = data.count(b">") + 1
+    codes = np.empty(n, dtype=np.uint8)
+    starts = np.empty(max_recs + 1, dtype=np.int64)
+    name_off = np.empty(max_recs, dtype=np.int64)
+    name_len = np.empty(max_recs, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n_recs = _lib.fasta_decode(
+        buf.ctypes.data, n, codes.ctypes.data,
+        starts.ctypes.data, name_off.ctypes.data, name_len.ctypes.data,
+        max_recs,
+    )
+    if n_recs < 0:
+        return None
+    names = [
+        data[name_off[r] : name_off[r] + name_len[r]].decode(errors="replace")
+        for r in range(n_recs)
+    ]
+    return codes[: starts[n_recs]], starts[: n_recs + 1].copy(), names
+
+
+def bgzf_compress_native(payload: bytes, level: int) -> bytes:
+    out = np.empty(65536, dtype=np.uint8)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    size = _lib.bgzf_compress_block(
+        buf.ctypes.data, len(payload), out.ctypes.data, 65536, level
+    )
+    if size < 0:
+        raise ValueError("BGZF block compression failed")
+    return out[:size].tobytes()
+
+
+def gzip_decompress_native(path: str, threads: int = 2) -> Optional[bytes]:
+    """Decompress a gzip/BGZF file (block-parallel for BGZF)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = max(len(data) * 4, 1 << 20)
+    for _ in range(8):
+        out = np.empty(cap, dtype=np.uint8)
+        got = _lib.gzip_decompress(src.ctypes.data, len(data),
+                                   out.ctypes.data, cap, threads)
+        if got == -2:
+            cap *= 4
+            continue
+        if got < 0:
+            return None
+        return out[:got].tobytes()
+    return None

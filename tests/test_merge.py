@@ -1,0 +1,111 @@
+"""Merge engine: device MXU contingency vs oracle vs the executed reference."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pykmer_tpu.formats import kin as kinfmt
+from pykmer_tpu.formats.kma import read_kma
+from pykmer_tpu.index import create_fasta_index
+from pykmer_tpu.merge import merge, pair_counts_stream
+from pykmer_tpu.oracle import oracle_pair_counts
+from conftest import make_random_fasta
+from reference_runner import run_reference_merger
+
+
+def _make_indexes(tmp_path, rng, n=3, kmer_len=5):
+    paths = []
+    for i in range(n):
+        fasta = make_random_fasta(
+            str(tmp_path / f"s{i}.fa"), rng, n_records=3,
+            lengths=(300 + 40 * i, 150, 80),
+        )
+        header = create_fasta_index(fasta, f"s{i}", fasta, kmer_len, verbose=False)
+        paths.append(header.index_file_root)
+    return paths
+
+
+def test_pair_counts_stream_matches_oracle(tmp_path, rng):
+    kmer_len = 5
+    paths = _make_indexes(tmp_path, rng, n=2, kmer_len=kmer_len)
+    a = kinfmt.read_kin_array(*kinfmt.parse_kin_filename(paths[0]))
+    b = kinfmt.read_kin_array(*kinfmt.parse_kin_filename(paths[1]))
+    for mn, mx in [(1, 255), (1, 1), (2, 200)]:
+        want = oracle_pair_counts(a, b, mn, mx)
+        got = pair_counts_stream(paths[0], paths[1], 4**kmer_len, mn, mx,
+                                 block_size=97)
+        assert got == want
+
+
+def test_merge_matches_pairwise_stream(tmp_path, rng, monkeypatch):
+    kmer_len = 5
+    paths = _make_indexes(tmp_path, rng, n=4, kmer_len=kmer_len)
+    monkeypatch.chdir(tmp_path)
+    project = str(tmp_path / "proj")
+    data, matrix = merge(project, paths, block_size=101, verbose=False)
+    n = len(paths)
+    assert matrix.shape == (n, n, 3)
+    for k in range(n):
+        for l in range(k + 1, n):
+            kc, lc, sc = pair_counts_stream(paths[k], paths[l], 4**kmer_len)
+            assert tuple(int(x) for x in matrix[k, l]) == (kc, lc, sc)
+            assert tuple(int(x) for x in matrix[l, k]) == (lc, kc, sc)
+    # outputs exist
+    assert os.path.exists(f"{project}.001-255.kma")
+    assert os.path.exists(f"{project}.001-255.kma.json")
+    again = read_kma(f"{project}.001-255.kma")
+    assert np.array_equal(again, matrix)
+
+
+def test_merge_matches_reference(tmp_path, rng):
+    kmer_len = 5
+    paths = _make_indexes(tmp_path, rng, n=3, kmer_len=kmer_len)
+    paths = sorted(paths)
+
+    proc, refcwd = run_reference_merger("proj", paths, str(tmp_path))
+    ref_kma = os.path.join(refcwd, "proj.001-255.kma")
+    ref_matrix = read_kma(ref_kma)
+    with open(ref_kma + ".json") as fh:
+        ref_json = json.load(fh)
+
+    ourdir = tmp_path / "ourmerge"
+    ourdir.mkdir()
+    project = str(ourdir / "proj")
+    _, our_matrix = merge(project, paths, verbose=False)
+    with open(f"{project}.001-255.kma.json") as fh:
+        our_json = json.load(fh)
+
+    n = len(paths)
+    off = ~np.eye(n, dtype=bool)
+    assert np.array_equal(our_matrix[off], ref_matrix[off]), \
+        "off-diagonal .kma matrices differ (diagonal is unspecified in reference)"
+
+    assert our_json["project_name"].endswith("proj")
+    for key in ("min_count", "max_count"):
+        assert our_json[key] == ref_json[key]
+    assert len(our_json["data"]) == len(ref_json["data"])
+    volatile = {"creation_time_start", "creation_time_end", "creation_duration",
+                "output_file_ctime", "checksum_script"}
+    for ours, refs in zip(our_json["data"], ref_json["data"]):
+        assert ours["pos"] == refs["pos"]
+        assert ours["index_file"] == refs["index_file"]
+        assert ours["description_file"] == refs["description_file"]
+        assert set(ours["header"]) == set(refs["header"])
+        for key in refs["header"]:
+            if key not in volatile:
+                assert ours["header"][key] == refs["header"][key], f"header {key}"
+
+
+def test_merge_guards(tmp_path, rng, monkeypatch):
+    kmer_len = 3
+    paths = _make_indexes(tmp_path, rng, n=2, kmer_len=kmer_len)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError):
+        merge(str(tmp_path / "p"), paths, min_count=0, verbose=False)
+    with pytest.raises(ValueError):
+        merge(str(tmp_path / "p"), [str(tmp_path / "s0.fa")], verbose=False)
+    merge(str(tmp_path / "p"), paths, verbose=False)
+    with pytest.raises(FileExistsError):
+        merge(str(tmp_path / "p"), paths, verbose=False)
