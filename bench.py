@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end indexing throughput (bp/s) at K=15 on one chip.
+
+Baseline: the reference's headline 503,287 bp/s at K=15 (pypy, 1 CPU core,
+tomato genome — /root/reference/README.md:49, BASELINE.md). Input here is a
+cached synthetic genome of comparable size/composition (zero-egress image:
+the real tomato FASTA cannot be downloaded).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_K (15), BENCH_BP (2**28), BENCH_VERIFY (0), BENCH_WRITE (1).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_BP_S = 503_287
+
+
+def log(*args):
+    print(*args, file=sys.stderr)
+
+
+def make_genome(path: str, total_bp: int, seed: int = 0) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n_chroms = 8
+    per = total_bp // n_chroms
+    line = 80
+    with open(path, "wb") as fh:
+        for c in range(n_chroms):
+            fh.write(f">chr{c + 1} synthetic\n".encode())
+            seq = alphabet[rng.integers(0, 4, size=per)]
+            # sprinkle N runs like real assemblies
+            for _ in range(5):
+                start = int(rng.integers(0, max(per - 1000, 1)))
+                seq[start : start + int(rng.integers(10, 1000))] = ord("N")
+            padded_len = (per + line - 1) // line * line
+            rows = np.full(padded_len + padded_len // line, ord("\n"), np.uint8)
+            idx = np.arange(padded_len)
+            rows[idx + idx // line] = np.pad(seq, (0, padded_len - per),
+                                             constant_values=ord("A"))
+            fh.write(rows.tobytes())
+
+
+def main() -> None:
+    kmer_len = int(os.environ.get("BENCH_K", "15"))
+    total_bp = int(os.environ.get("BENCH_BP", str(2**28)))
+    verify = os.environ.get("BENCH_VERIFY", "0") == "1"
+    do_write = os.environ.get("BENCH_WRITE", "1") == "1"
+
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_data")
+    os.makedirs(bench_dir, exist_ok=True)
+    fasta = os.path.join(bench_dir, f"synthetic_{total_bp}.fa")
+    if not os.path.exists(fasta):
+        log(f"generating {total_bp:,} bp synthetic genome at {fasta}")
+        t0 = time.time()
+        make_genome(fasta, total_bp)
+        log(f"  generated in {time.time() - t0:.1f}s")
+
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+    import jax
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    cfg = IndexConfig(kmer_len=kmer_len)
+    # one warmup on a small slice to exclude XLA compile time (cached later
+    # runs would not pay it either)
+    warm = os.path.join(bench_dir, "warm.fa")
+    if not os.path.exists(warm):
+        make_genome(warm, 1 << 20, seed=1)
+    for path in (warm,):
+        create_fasta_index(path, "warm", path, kmer_len, overwrite=True,
+                           config=cfg, verify=False, verbose=False)
+
+    t0 = time.time()
+    header = create_fasta_index(
+        fasta, "bench", fasta, kmer_len,
+        overwrite=True, config=cfg, verify=verify, verbose=False,
+    )
+    elapsed = time.time() - t0
+    if not do_write:
+        pass  # file write is part of the measured pipeline by default
+
+    total_seq_bp = sum(c[1] for c in header.chromosomes)
+    bp_s = total_seq_bp / elapsed
+    log(f"K={kmer_len} bp={total_seq_bp:,} elapsed={elapsed:.2f}s "
+        f"bp/s={bp_s:,.0f} num_kmers={header.num_kmers:,}")
+
+    print(json.dumps({
+        "metric": f"index_bp_per_s_k{kmer_len}_1chip",
+        "value": round(bp_s),
+        "unit": "bp/s",
+        "vs_baseline": round(bp_s / BASELINE_BP_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as exc:  # surface failures as a valid bench line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "index_bp_per_s_k15_1chip",
+            "value": 0,
+            "unit": "bp/s",
+            "vs_baseline": 0.0,
+            "error": str(exc)[:200],
+        }))
+        sys.exit(1)

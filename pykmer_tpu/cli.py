@@ -1,0 +1,167 @@
+"""Command-line interface.
+
+One typed entry with subcommands mirroring the reference's script surface:
+
+    pykmer-tpu index   <input.fa[.gz]> <sample_name> <K>   (indexer.py:475-495)
+    pykmer-tpu read    <input> <K>                          (indexer.py:416-447)
+    pykmer-tpu merge   <Project> <a.kin> <b.kin> ...        (merger.py:51-59)
+    pykmer-tpu distance <matrix.kma> [names.tsv]            (calculate_distance.py:247-249)
+    pykmer-tpu gzi     <file.gzi>                           (gzireader.py:39-44)
+    pykmer-tpu testgen [prefix] [K ...]                     (test.py:29-33)
+    pykmer-tpu bgzip   <file>                               (external bgzip -i step)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+from .config import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_MAX_COUNT,
+    DEFAULT_MIN_COUNT,
+    DEFAULT_THREADS,
+    IndexConfig,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="pykmer-tpu",
+        description="TPU-native k-mer counting and sample comparison",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("index", help="build a .kin index from FASTA")
+    p.add_argument("input_file")
+    p.add_argument("sample_name")
+    p.add_argument("kmer_len", type=int)
+    p.add_argument("--no-overwrite", action="store_true")
+    p.add_argument("--chunk-windows", type=int, default=IndexConfig.chunk_windows)
+    p.add_argument("--accumulate", choices=["auto", "device", "host"],
+                   default="auto")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--bgzip", action="store_true",
+                   help="also produce .kin.bgz + .gzi")
+    p.add_argument("--quiet", action="store_true")
+
+    p = sub.add_parser("read", help="verify and dump a .kin index")
+    p.add_argument("input_file")
+    p.add_argument("kmer_len", type=int)
+    p.add_argument("--debug", action="store_true")
+
+    p = sub.add_parser("merge", help="merge kmer databases into a .kma matrix")
+    p.add_argument("Project_Name")
+    p.add_argument("Kmers", nargs="+", help="list of .kin[.bgz] files")
+    p.add_argument("--min-count", type=int, default=DEFAULT_MIN_COUNT)
+    p.add_argument("--max-count", type=int, default=DEFAULT_MAX_COUNT)
+    p.add_argument("--buffer-size", type=int, default=None,
+                   help="accepted for reference-CLI parity (unused)")
+    p.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
+    p.add_argument("--threads", type=int, default=DEFAULT_THREADS)
+    p.add_argument("--quiet", action="store_true")
+
+    p = sub.add_parser("distance", help="Jaccard distances + NJ tree from .kma")
+    p.add_argument("matrix_file")
+    p.add_argument("names_file", nargs="?", default=None)
+
+    p = sub.add_parser("gzi", help="dump a .gzi random-access index")
+    p.add_argument("index_file")
+
+    p = sub.add_parser("testgen", help="write 4^K enumeration fixtures")
+    p.add_argument("prefix", nargs="?", default="examples/example-")
+    p.add_argument("kmer_lens", nargs="*", type=int)
+
+    p = sub.add_parser("bgzip", help="BGZF-compress a file (+ .gzi index)")
+    p.add_argument("file")
+    p.add_argument("--level", type=int, default=6)
+    p.add_argument("--delete", action="store_true", help="remove the source")
+
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.command == "index":
+        from .index import create_fasta_index
+
+        cfg = IndexConfig(
+            kmer_len=args.kmer_len,
+            chunk_windows=args.chunk_windows,
+            accumulate=args.accumulate,
+        )
+        header = create_fasta_index(
+            args.input_file, args.sample_name, args.input_file, args.kmer_len,
+            overwrite=not args.no_overwrite, config=cfg,
+            verify=not args.no_verify, verbose=not args.quiet,
+        )
+        if args.bgzip:
+            from .io.bgzf import bgzip_kin
+
+            bgz, gzi = bgzip_kin(header.index_file_root)
+            if not args.quiet:
+                print(f"wrote {bgz} + {gzi}")
+        return 0
+
+    if args.command == "read":
+        from .index import read_fasta_index
+
+        read_fasta_index(args.input_file, input_file=args.input_file,
+                         kmer_len=args.kmer_len, debug=args.debug)
+        return 0
+
+    if args.command == "merge":
+        from .merge import merge
+
+        if len(args.Kmers) <= 1:
+            print("needs at least 2 files")
+            return 1
+        merge(
+            args.Project_Name, sorted(args.Kmers),
+            min_count=args.min_count, max_count=args.max_count,
+            block_size=args.block_size, threads=args.threads,
+            verbose=not args.quiet,
+        )
+        return 0
+
+    if args.command == "distance":
+        from .analysis.distance import load
+
+        load(args.matrix_file, names_file=args.names_file)
+        return 0
+
+    if args.command == "gzi":
+        from .io.gzi import print_index
+
+        print_index(args.index_file)
+        return 0
+
+    if args.command == "testgen":
+        from . import testgen
+
+        kmer_lens = args.kmer_lens or [3, 5, 7, 9, 11, 13, 15, 17, 19, 21]
+        import os
+
+        os.makedirs(os.path.dirname(args.prefix) or ".", exist_ok=True)
+        for k in kmer_lens:
+            print(k)
+            testgen.create_test_fasta(args.prefix, k)
+        return 0
+
+    if args.command == "bgzip":
+        from .io.bgzf import compress_file
+        import os
+
+        bgz, gzi = compress_file(args.file, level=args.level)
+        if args.delete:
+            os.remove(args.file)
+        print(f"wrote {bgz} + {gzi}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

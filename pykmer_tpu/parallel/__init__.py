@@ -1,0 +1,9 @@
+from .mesh import make_mesh, DATA_AXIS, SHARD_AXIS
+from .histogram import (
+    make_sharded_accumulate,
+    interleaved_to_flat,
+    flat_to_interleaved,
+    shard_batch_chunks,
+)
+from .encode import make_halo_encode
+from .compare import make_sharded_pair_matrix

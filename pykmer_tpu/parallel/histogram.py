@@ -1,0 +1,177 @@
+"""Count-space-sharded saturating histogram (the multi-chip indexing core).
+
+Layout: with S = n_shards (power of two), canonical code ``c`` lives on shard
+``c & (S-1)`` at local index ``c >> log2(S)`` — low-bit interleaving, because
+canonical codes (min of fwd/rc) are skewed toward low values while their low
+bits are uniform, so shards stay balanced. The global dense array is the
+column-major interleave of the per-shard arrays (see
+:func:`interleaved_to_flat`).
+
+Per step, per chip (inside shard_map over mesh ('data','shards')):
+  1. encode its chunk to canonical codes (ops.encode);
+  2. key-sort codes so each destination shard's codes are contiguous
+     (invalid windows key past every bucket);
+  3. bucket the sorted keys by destination with a fixed per-bucket capacity
+     (static shapes; overflow is *detected* and surfaced, never silently
+     dropped), pad with the local sentinel;
+  4. ``all_to_all`` along 'shards' — each chip receives only codes it owns,
+     already bucket-sorted (ICI traffic = one code per k-mer);
+  5. ``all_gather`` along 'data' so dense replicas apply every row's updates
+     and stay bit-identical;
+  6. saturating accumulate into the local dense shard (ops.histogram).
+
+num_kmers contributions are psum'd over the whole mesh. All integer adds are
+associative, so multi-chip results are bit-identical to single-chip runs
+(tested on the virtual CPU mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, SHARD_AXIS
+from ..ops.encode import canonical_codes, code_dtype
+from ..ops.histogram import saturating_accumulate
+
+
+def interleaved_to_flat(shards: np.ndarray) -> np.ndarray:
+    """[S, local] per-shard arrays → flat [4^K] dense array.
+
+    code c = (local << log2(S)) | s  ⇒  flat[c] = shards[c % S, c // S].
+    """
+    s, local = shards.shape
+    return shards.T.reshape(s * local) if s == 1 else np.ascontiguousarray(
+        shards.T
+    ).reshape(s * local)
+
+
+def flat_to_interleaved(flat: np.ndarray, n_shards: int) -> np.ndarray:
+    return np.ascontiguousarray(flat.reshape(-1, n_shards).T)
+
+
+def shard_batch_chunks(
+    padded: np.ndarray, kmer_len: int, chunk_windows: int, n_rows: int, step: int
+) -> np.ndarray:
+    """Host framing: rows of overlapping chunks for one sharded step.
+
+    Returns [n_rows, chunk_windows + K - 1]; row r covers window starts
+    [(step*n_rows + r) * chunk_windows, ...). Rows beyond the stream are
+    invalid-padded (their windows drop on device).
+    """
+    span = chunk_windows + kmer_len - 1
+    out = np.full((n_rows, span), 4, dtype=np.uint8)
+    for r in range(n_rows):
+        start = (step * n_rows + r) * chunk_windows
+        if start >= max(padded.shape[0] - kmer_len + 1, 0):
+            continue
+        piece = padded[start : start + span]
+        out[r, : piece.shape[0]] = piece
+    return out
+
+
+def make_sharded_accumulate(
+    mesh: Mesh,
+    kmer_len: int,
+    chunk_windows: int,
+    capacity_factor: float = 2.0,
+) -> Tuple[Callable, Callable]:
+    """Build (init_fn, step_fn) for the sharded histogram.
+
+    init_fn() → dense [S, local] uint8, device-sharded.
+    step_fn(dense, chunks[R*S, span]) → (dense, num_valid, max_bucket)
+      where R = data-axis size; ``max_bucket`` must stay <= capacity
+      (checked by the caller against ``step_fn.capacity``).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_shards = mesh.shape[SHARD_AXIS]
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    shard_bits = int(n_shards).bit_length() - 1
+    data_size = 4**kmer_len
+    local_size = data_size // n_shards
+    assert local_size * n_shards == data_size
+    capacity = int(np.ceil(chunk_windows / n_shards * capacity_factor))
+    capacity = min(capacity, chunk_windows)
+    span = chunk_windows + kmer_len - 1
+    dt = code_dtype(kmer_len)
+    # local indices always fit int32 once n_shards >= 8 even at K=17;
+    # keep the code dtype until after the owner split to stay exact
+    local_dt = jnp.int32 if local_size <= 2**31 - 1 else jnp.int64
+
+    def per_chip(dense_local, chunk_rows):
+        # dense_local: [1, local_size]; chunk_rows: [1, span]
+        codes = canonical_codes(chunk_rows[0], kmer_len)
+        valid = codes < data_size
+        num_valid = valid.sum(dtype=jnp.int64)
+
+        # key: bucket-major (owner, local); invalid windows past all buckets
+        owner = (codes & (n_shards - 1)).astype(jnp.int32)
+        local = (codes >> shard_bits).astype(local_dt)
+        key = owner.astype(dt) * local_size + local
+        key = jnp.where(valid, key, data_size)
+        key = jnp.sort(key)
+
+        # bucket offsets via searchsorted on the S+1 bucket boundaries
+        bounds = (jnp.arange(n_shards + 1, dtype=dt)) * local_size
+        offsets = jnp.searchsorted(key, bounds)  # [S+1]
+        counts = offsets[1:] - offsets[:-1]
+        max_bucket = counts.max()
+
+        # gather into [S, capacity] of local indices, pad = local sentinel
+        slot = jax.lax.broadcasted_iota(jnp.int32, (n_shards, capacity), 1)
+        src = offsets[:-1, None] + slot
+        in_bucket = slot < counts[:, None]
+        src = jnp.where(in_bucket, src, 0)
+        vals = key[src] - bounds[:-1, None]
+        send = jnp.where(in_bucket, vals.astype(local_dt), local_size)
+
+        # exchange: row j of `send` goes to shard j
+        recv = jax.lax.all_to_all(
+            send, SHARD_AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        if n_data > 1:
+            recv = jax.lax.all_gather(recv, DATA_AXIS, tiled=True)
+        recv = recv.reshape(-1)
+
+        new_dense, _ = saturating_accumulate(
+            dense_local[0], recv, sentinel=local_size
+        )
+        num_valid = jax.lax.psum(num_valid, (DATA_AXIS, SHARD_AXIS))
+        max_bucket = jax.lax.pmax(max_bucket, (DATA_AXIS, SHARD_AXIS))
+        return new_dense[None, :], num_valid, max_bucket
+
+    from jax import shard_map
+
+    stepped = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P((DATA_AXIS, SHARD_AXIS), None)),
+        out_specs=(P(SHARD_AXIS, None), P(), P()),
+        check_vma=False,
+    )
+    step_jit = jax.jit(stepped, donate_argnums=0)
+
+    dense_sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
+    chunk_sharding = NamedSharding(mesh, P((DATA_AXIS, SHARD_AXIS), None))
+
+    def init_fn():
+        return jax.device_put(
+            jnp.zeros((n_shards, local_size), dtype=jnp.uint8), dense_sharding
+        )
+
+    def step_fn(dense, chunk_rows):
+        chunk_rows = jax.device_put(chunk_rows, chunk_sharding)
+        return step_jit(dense, chunk_rows)
+
+    step_fn.capacity = capacity
+    step_fn.rows = n_data * n_shards
+    step_fn.span = span
+    step_fn.local_size = local_size
+    step_fn.n_shards = n_shards
+    return init_fn, step_fn

@@ -1,0 +1,75 @@
+"""CLI surface: end-to-end subcommand flows."""
+
+import json
+import os
+
+import numpy as np
+
+from pykmer_tpu.cli import main
+from conftest import make_random_fasta
+
+
+def test_cli_full_flow(tmp_path, rng, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    fastas = []
+    for i in range(2):
+        fasta = make_random_fasta(str(tmp_path / f"c{i}.fa"), rng,
+                                  n_records=2, lengths=(300, 150))
+        fastas.append(fasta)
+
+    kins = []
+    for fasta in fastas:
+        rc = main(["index", fasta, "sample", "5", "--quiet", "--bgzip"])
+        assert rc == 0
+        kins.append(f"{fasta}.05.kin")
+        assert os.path.exists(f"{fasta}.05.kin")
+        assert os.path.exists(f"{fasta}.05.kin.json")
+        assert os.path.exists(f"{fasta}.05.kin.bgz")
+        assert os.path.exists(f"{fasta}.05.kin.bgz.gzi")
+
+    rc = main(["read", fastas[0], "5"])
+    assert rc == 0
+
+    rc = main(["gzi", f"{fastas[0]}.05.kin.bgz.gzi"])
+    assert rc == 0
+    assert "number_entries" in capsys.readouterr().out
+
+    rc = main(["merge", "proj", *kins, "--quiet"])
+    assert rc == 0
+    assert os.path.exists("proj.001-255.kma")
+
+    rc = main(["distance", "proj.001-255.kma"])
+    assert rc == 0
+    assert os.path.exists("proj.001-255.kma.dist.jaccard.newick")
+
+    rc = main(["testgen", str(tmp_path / "fix" / "ex-"), "3"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "fix" / "ex--03.fasta.gz"))
+
+
+def test_cli_merge_needs_two(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    fasta = make_random_fasta(str(tmp_path / "x.fa"), rng)
+    main(["index", fasta, "s", "3", "--quiet"])
+    rc = main(["merge", "p", f"{fasta}.03.kin"])
+    assert rc == 1
+
+
+def test_cli_merge_reads_bgz_inputs(tmp_path, rng, monkeypatch):
+    """Merging compressed .kin.bgz inputs gives identical matrices."""
+    monkeypatch.chdir(tmp_path)
+    kins, bgzs = [], []
+    for i in range(2):
+        fasta = make_random_fasta(str(tmp_path / f"b{i}.fa"), rng,
+                                  n_records=2, lengths=(220, 90))
+        main(["index", fasta, "s", "5", "--quiet", "--bgzip"])
+        kins.append(f"{fasta}.05.kin")
+        bgzs.append(f"{fasta}.05.kin.bgz")
+        os.rename(kins[-1], kins[-1] + ".hide")  # force the .bgz path
+    assert main(["merge", "pbgz", *bgzs, "--quiet"]) == 0
+    for kin in kins:
+        os.rename(kin + ".hide", kin)
+    assert main(["merge", "praw", *kins, "--quiet"]) == 0
+    a = np.load("pbgz.001-255.kma")["matrix"]
+    b = np.load("praw.001-255.kma")["matrix"]
+    assert np.array_equal(a, b)
