@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--bgzip", action="store_true",
                    help="also produce .kin.bgz + .gzi")
+    p.add_argument("--shards", type=int, default=None,
+                   help="count-space shards (device mesh); default single-chip")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="data-parallel mesh axis size")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="persist resumable shard checkpoints every N steps")
     p.add_argument("--quiet", action="store_true")
 
     p = sub.add_parser("read", help="verify and dump a .kin index")
@@ -85,18 +91,29 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.command == "index":
-        from .index import create_fasta_index
-
         cfg = IndexConfig(
             kmer_len=args.kmer_len,
             chunk_windows=args.chunk_windows,
             accumulate=args.accumulate,
         )
-        header = create_fasta_index(
-            args.input_file, args.sample_name, args.input_file, args.kmer_len,
-            overwrite=not args.no_overwrite, config=cfg,
-            verify=not args.no_verify, verbose=not args.quiet,
-        )
+        if args.shards or args.data_parallel > 1 or args.checkpoint_every:
+            from .index import create_fasta_index_sharded
+
+            header = create_fasta_index_sharded(
+                args.input_file, args.sample_name, args.input_file,
+                args.kmer_len, overwrite=not args.no_overwrite, config=cfg,
+                n_shards=args.shards, n_data=args.data_parallel,
+                checkpoint_every=args.checkpoint_every,
+                verify=not args.no_verify, verbose=not args.quiet,
+            )
+        else:
+            from .index import create_fasta_index
+
+            header = create_fasta_index(
+                args.input_file, args.sample_name, args.input_file,
+                args.kmer_len, overwrite=not args.no_overwrite, config=cfg,
+                verify=not args.no_verify, verbose=not args.quiet,
+            )
         if args.bgzip:
             from .io.bgzf import bgzip_kin
 

@@ -1,2 +1,3 @@
 from .indexer import create_fasta_index
+from .sharded import create_fasta_index_sharded
 from .reader import read_fasta_index

@@ -1,0 +1,161 @@
+"""Sharded indexing pipeline: FASTA → `.kin` over a device mesh.
+
+The multi-chip (and multi-host data-parallel) variant of
+index/indexer.py: the 4^K count space lives interleaved across the mesh's
+'shards' axis, sequence chunks stream data-parallel, and each jitted step
+runs encode → all_to_all exchange → saturating accumulate
+(parallel/histogram). Progress checkpoints (dense shards + stream cursor)
+make long builds resumable — the reference can only restart whole files
+(SURVEY §5: crash-safety is tmp+rename only).
+
+Output files are byte-identical to the single-chip pipeline (and hence the
+reference): integer saturating adds are associative, so mesh shape cannot
+change results (tested).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..formats import kin as kinfmt
+from ..formats.header import KinHeader
+from ..io.fasta import read_fasta_codes
+from ..ops.encode import chunk_stream
+from ..parallel.histogram import (
+    interleaved_to_flat,
+    flat_to_interleaved,
+    make_sharded_accumulate,
+    shard_batch_chunks,
+)
+from ..parallel.mesh import make_mesh
+from ..parallel import multihost
+from .indexer import _concat_records, PRINT_EVERY
+
+
+def create_fasta_index_sharded(
+    project_name: str,
+    sample_name: str,
+    input_file: str,
+    kmer_len: int,
+    overwrite: bool = True,
+    config: Optional[IndexConfig] = None,
+    mesh=None,
+    n_shards: Optional[int] = None,
+    n_data: int = 1,
+    capacity_factor: float = 2.0,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = True,
+    verify: bool = True,
+    verbose: bool = True,
+) -> KinHeader:
+    """Build one `.kin` index over a device mesh, resumably."""
+    config = config or IndexConfig(kmer_len=kmer_len)
+    if mesh is None:
+        mesh = make_mesh(n_shards=n_shards, n_data=n_data)
+
+    header = KinHeader(
+        project_name,
+        input_file=input_file,
+        kmer_len=kmer_len,
+        flush_every=config.flush_every,
+        min_frag_size=config.min_frag_size,
+        max_frag_size=config.max_frag_size,
+    )
+    data_size = header.data_size
+    tmp = header.index_tmp_file
+
+    ckpt = multihost.load_shard_checkpoint(tmp) if resume else None
+    if ckpt is None:
+        kinfmt.remove_outputs(input_file, kmer_len, overwrite)
+
+    timer = header.timer
+    records = read_fasta_codes(input_file)
+    stream, chromosomes, total_bp = _concat_records(records, kmer_len)
+    if total_bp >= PRINT_EVERY:
+        timer.update(total_bp)
+
+    init_fn, step_fn = make_sharded_accumulate(
+        mesh, kmer_len, config.chunk_windows, capacity_factor=capacity_factor
+    )
+    if stream.shape[0] < kmer_len:
+        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+    padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
+    rows = step_fn.rows
+    n_steps = (n_chunks + rows - 1) // rows
+
+    start_step = 0
+    num_kmers = 0
+    if ckpt is not None:
+        shards_np, state = ckpt
+        if (
+            state.get("kmer_len") == kmer_len
+            and state.get("chunk_windows") == config.chunk_windows
+            and state.get("rows") == rows
+            and state.get("input_size") == os.path.getsize(input_file)
+            and shards_np.shape == (step_fn.n_shards, step_fn.local_size)
+        ):
+            start_step = int(state["next_step"])
+            num_kmers = int(state["num_kmers"])
+            import jax
+
+            dense = jax.device_put(
+                shards_np, init_fn().sharding
+            )
+            if verbose:
+                print(f"  resuming from checkpoint at step {start_step}/{n_steps}")
+        else:
+            if verbose:
+                print("  stale checkpoint ignored")
+            multihost.clear_shard_checkpoint(tmp)
+            kinfmt.remove_outputs(input_file, kmer_len, overwrite)
+            ckpt = None
+    if ckpt is None:
+        dense = init_fn()
+
+    for s in range(start_step, n_steps):
+        chunks = shard_batch_chunks(padded, kmer_len, config.chunk_windows, rows, s)
+        dense, nvalid, maxb = step_fn(dense, chunks)
+        if int(maxb) > step_fn.capacity:
+            raise RuntimeError(
+                f"shard bucket overflow ({int(maxb)} > {step_fn.capacity}): "
+                f"re-run with a larger capacity_factor (got {capacity_factor}) "
+                f"or smaller chunk_windows"
+            )
+        num_kmers += int(nvalid)
+        if verbose and n_steps > 1:
+            print(f"  step {s + 1}/{n_steps} kmers {num_kmers:15,d}")
+        if checkpoint_every and (s + 1) % checkpoint_every == 0 and s + 1 < n_steps:
+            multihost.save_shard_checkpoint(
+                tmp, np.asarray(dense), next_step=s + 1, num_kmers=num_kmers,
+                meta={
+                    "kmer_len": kmer_len,
+                    "chunk_windows": config.chunk_windows,
+                    "rows": rows,
+                    "input_size": os.path.getsize(input_file),
+                },
+            )
+
+    if num_kmers == 0:
+        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+    if total_bp >= PRINT_EVERY:
+        timer.update(total_bp)
+
+    dense_np = interleaved_to_flat(np.asarray(dense))
+    kinfmt.write_kin_array(tmp, dense_np)
+    header.num_kmers = int(num_kmers)
+    header.chromosomes = chromosomes
+    header.write_metadata(tmp, stats_counts256=np.bincount(dense_np, minlength=256))
+    if verify:
+        fresh = KinHeader(project_name, input_file=input_file, kmer_len=kmer_len)
+        fresh.update_stats_from_file(tmp)
+        if fresh.hist != header.hist or fresh.vals_sum != header.vals_sum:
+            raise AssertionError("written .kin does not match computed stats")
+    os.rename(tmp, header.index_file_root)
+    multihost.clear_shard_checkpoint(tmp)
+    if verbose:
+        print("done")
+    return header

@@ -73,3 +73,23 @@ def test_cli_merge_reads_bgz_inputs(tmp_path, rng, monkeypatch):
     a = np.load("pbgz.001-255.kma")["matrix"]
     b = np.load("praw.001-255.kma")["matrix"]
     assert np.array_equal(a, b)
+
+
+def test_cli_sharded_index(tmp_path, rng, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    fasta = make_random_fasta(str(tmp_path / "sh.fa"), rng, n_records=2,
+                              lengths=(400, 200))
+    rc = main(["index", fasta, "s", "5", "--quiet", "--shards", "4",
+               "--checkpoint-every", "2"])
+    assert rc == 0
+    assert os.path.exists(f"{fasta}.05.kin")
+    # matches the single-chip result byte for byte
+    with open(f"{fasta}.05.kin", "rb") as fh:
+        sharded = fh.read()
+    os.remove(f"{fasta}.05.kin")
+    os.remove(f"{fasta}.05.kin.json")
+    rc = main(["index", fasta, "s", "5", "--quiet"])
+    assert rc == 0
+    with open(f"{fasta}.05.kin", "rb") as fh:
+        single = fh.read()
+    assert sharded == single
