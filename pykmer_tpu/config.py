@@ -25,8 +25,11 @@ class IndexConfig:
     """Configuration of one indexing run (FASTA → .kin)."""
 
     kmer_len: int
-    # host→device streaming: number of window starts per device chunk
-    chunk_windows: int = 1 << 24
+    # host→device streaming: number of window starts per device chunk.
+    # Bounded by XLA compile time (scales with batch size on TPU; the
+    # persistent compilation cache makes it once-ever) and h2d transfer
+    # granularity; 2M windows balances both.
+    chunk_windows: int = 1 << 21
     # kmer codes buffered on device before a dense-array accumulate
     flush_every: int = DEFAULT_FLUSH_EVERY
     min_frag_size: int = DEFAULT_MIN_FRAG_SIZE
@@ -34,6 +37,13 @@ class IndexConfig:
     # device strategy: "auto" | "device" (HBM-resident dense array) | "host"
     # (host-RAM dense array for count spaces exceeding HBM, e.g. K=17 1-chip)
     accumulate: str = "auto"
+    # accumulate kernel: "auto" picks the Pallas tile-sweep on TPU for large
+    # count spaces (XLA scatter lowers to a serial loop there) and the XLA
+    # sort+scan path elsewhere
+    kernel: str = "auto"
+    # final device→host fetch: "auto" uses 4-bit packed readback for large
+    # arrays over slow host links; "raw"/"packed" force a path
+    readback: str = "auto"
 
     def __post_init__(self) -> None:
         if self.kmer_len <= 0 or self.kmer_len % 2 == 0:

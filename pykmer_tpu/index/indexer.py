@@ -151,6 +151,23 @@ def create_fasta_index(
     return header
 
 
+def _use_pallas_kernel(config: IndexConfig, data_size: int, kmer_len: int) -> bool:
+    import jax
+
+    if config.kernel == "pallas":
+        return True
+    if config.kernel == "xla":
+        return False
+    # auto: the Pallas tile sweep needs TPU, an int32 code space, and a
+    # count space that tiles as (1024, 128); XLA scatter is serial on TPU
+    # but fine on CPU/GPU backends
+    return (
+        jax.default_backend() == "tpu"
+        and kmer_len <= 15
+        and data_size % (1024 * 128) == 0
+    )
+
+
 def _accumulate_device(
     padded: np.ndarray,
     n_chunks: int,
@@ -165,28 +182,37 @@ def _accumulate_device(
 
     from ..ops.encode import canonical_codes
     from ..ops.histogram import saturating_accumulate
+    from ..ops.readback import fetch_dense
 
-    span = config.chunk_windows + kmer_len - 1
+    use_pallas = _use_pallas_kernel(config, data_size, kmer_len)
 
-    def step(dense, chunk):
+    def step(dense, nk, chunk):
         codes = canonical_codes(chunk, kmer_len)
-        return saturating_accumulate(dense, codes, sentinel=data_size)
+        if use_pallas:
+            from ..ops.pallas_hist import saturating_accumulate_tiled
 
-    step_jit = jax.jit(step, donate_argnums=0)
+            dense, nvalid = saturating_accumulate_tiled(
+                dense, codes, sentinel=data_size
+            )
+        else:
+            dense, nvalid = saturating_accumulate(dense, codes, sentinel=data_size)
+        return dense, nk + nvalid
+
+    # fully asynchronous dispatch: the k-mer counter is carried on-device and
+    # fetched once at the end — any mid-stream sync stalls the pipeline
+    # (and costs seconds over tunneled hosts)
+    step_jit = jax.jit(step, donate_argnums=(0, 1))
 
     dense = jnp.zeros(data_size, dtype=jnp.uint8)
-    num_kmers = 0
+    nk = jnp.zeros((), dtype=jnp.int64)
     done_windows = 0
     for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
-        dense, nvalid = step_jit(dense, jnp.asarray(chunk))
-        num_kmers += int(nvalid)
+        dense, nk = step_jit(dense, nk, jnp.asarray(chunk))
         done_windows += config.chunk_windows
         if verbose and n_chunks > 1:
-            print(
-                f"  chunk windows {done_windows:15,d} "
-                f"kmers {num_kmers:15,d}"
-            )
-    return np.asarray(jax.device_get(dense)), num_kmers
+            print(f"  dispatched windows {done_windows:15,d}")
+    num_kmers = int(nk)
+    return fetch_dense(dense, mode=config.readback), num_kmers
 
 
 def _accumulate_host(

@@ -88,22 +88,25 @@ def create_fasta_index_sharded(
     n_steps = (n_chunks + rows - 1) // rows
 
     start_step = 0
-    num_kmers = 0
+    state = None
     if ckpt is not None:
-        shards_np, state = ckpt
+        shards_np, ck = ckpt
         if (
-            state.get("kmer_len") == kmer_len
-            and state.get("chunk_windows") == config.chunk_windows
-            and state.get("rows") == rows
-            and state.get("input_size") == os.path.getsize(input_file)
+            ck.get("kmer_len") == kmer_len
+            and ck.get("chunk_windows") == config.chunk_windows
+            and ck.get("rows") == rows
+            and ck.get("input_size") == os.path.getsize(input_file)
             and shards_np.shape == (step_fn.n_shards, step_fn.local_size)
         ):
-            start_step = int(state["next_step"])
-            num_kmers = int(state["num_kmers"])
+            start_step = int(ck["next_step"])
             import jax
+            import jax.numpy as jnp
 
-            dense = jax.device_put(
-                shards_np, init_fn().sharding
+            dense0, _, _ = init_fn()
+            state = (
+                jax.device_put(shards_np, dense0.sharding),
+                jnp.asarray(int(ck["num_kmers"]), dtype=jnp.int64),
+                jnp.zeros((), dtype=jnp.int32),
             )
             if verbose:
                 print(f"  resuming from checkpoint at step {start_step}/{n_steps}")
@@ -113,24 +116,20 @@ def create_fasta_index_sharded(
             multihost.clear_shard_checkpoint(tmp)
             kinfmt.remove_outputs(input_file, kmer_len, overwrite)
             ckpt = None
-    if ckpt is None:
-        dense = init_fn()
+    if state is None:
+        state = init_fn()
 
+    # fully-async dispatch; num_kmers / max_bucket stay on-device and are
+    # fetched only at checkpoints and at the end
     for s in range(start_step, n_steps):
         chunks = shard_batch_chunks(padded, kmer_len, config.chunk_windows, rows, s)
-        dense, nvalid, maxb = step_fn(dense, chunks)
-        if int(maxb) > step_fn.capacity:
-            raise RuntimeError(
-                f"shard bucket overflow ({int(maxb)} > {step_fn.capacity}): "
-                f"re-run with a larger capacity_factor (got {capacity_factor}) "
-                f"or smaller chunk_windows"
-            )
-        num_kmers += int(nvalid)
+        state = step_fn(state, chunks)
         if verbose and n_steps > 1:
-            print(f"  step {s + 1}/{n_steps} kmers {num_kmers:15,d}")
+            print(f"  dispatched step {s + 1}/{n_steps}")
         if checkpoint_every and (s + 1) % checkpoint_every == 0 and s + 1 < n_steps:
             multihost.save_shard_checkpoint(
-                tmp, np.asarray(dense), next_step=s + 1, num_kmers=num_kmers,
+                tmp, np.asarray(state[0]), next_step=s + 1,
+                num_kmers=int(state[1]),
                 meta={
                     "kmer_len": kmer_len,
                     "chunk_windows": config.chunk_windows,
@@ -139,6 +138,14 @@ def create_fasta_index_sharded(
                 },
             )
 
+    dense, nk_dev, maxb_dev = state
+    num_kmers = int(nk_dev)
+    if int(maxb_dev) > step_fn.capacity:
+        raise RuntimeError(
+            f"shard bucket overflow ({int(maxb_dev)} > {step_fn.capacity}): "
+            f"re-run with a larger capacity_factor (got {capacity_factor}) "
+            f"or smaller chunk_windows"
+        )
     if num_kmers == 0:
         raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
     if total_bp >= PRINT_EVERY:

@@ -1,0 +1,176 @@
+"""Pallas TPU kernel: saturating dense-histogram accumulation.
+
+Why: XLA lowers scatter-add on TPU to a serial per-update loop (~1 M
+updates/s measured — the reference-beating bottleneck), and its compile time
+scales with the update count. This kernel replaces the scatter with a dense
+tile sweep that runs entirely on MXU/VPU:
+
+  - updates = the batch's canonical codes, **sorted** (XLA sort), so each
+    dense tile owns a contiguous slice of them; per-tile slice bounds come
+    from one searchsorted over the tile boundaries (scalar-prefetched);
+  - grid = dense tiles of (TILE_ROWS, 128) uint8 cells streamed
+    HBM→VMEM→HBM by the Pallas pipeline;
+  - per tile, updates arrive in fixed-size blocks (manual DMA from HBM with
+    a dynamic offset); each block turns into two one-hot factor matrices
+    (row of cell, lane of cell) whose product — one MXU matmul
+    (TILE_ROWS×B)·(B×128) — adds the block's per-cell counts to an f32
+    accumulator. bf16 one-hots and f32 accumulation are exact here (counts
+    ≤ 2^21 « 2^24);
+  - finally the tile applies the reference's saturation semantics
+    ``min(old + min(count, 255), 255)`` (== min(total,255), see
+    ops/histogram) and writes back in place (input/output aliased).
+
+Cost: O(batch · 128) VPU compares + O(batch · TILE_ROWS · 128 / B) MXU MACs
++ one full sweep of the dense array per batch — no serial scatter anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEFAULT_TILE_ROWS = 1024
+DEFAULT_BLOCK = 1024
+
+
+def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
+            acc_ref, codes_buf, sem, *, tile_rows: int, block: int):
+    t = pl.program_id(0)
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Mosaic requires dynamic VMEM slices aligned to the (1024,) int32
+    # tiling, so update blocks are `block`-aligned windows around the tile's
+    # slice; codes outside [tile_base, tile_base + tile_cells) vanish in the
+    # one-hot compare (their row index falls outside [0, tile_rows)), so the
+    # overhang needs no masking.
+    a_start = start & jnp.int32(~(block - 1))
+    n_blocks = pl.cdiv(end - a_start, jnp.int32(block))
+    tile_base = t * (tile_rows * LANES)
+
+    def body(i, _):
+        offs = pl.multiple_of(a_start + i * block, block)
+        copy = pltpu.make_async_copy(
+            codes_ref.at[pl.ds(offs, block)], codes_buf, sem
+        )
+        copy.start()
+        copy.wait()
+        c = codes_buf[...]
+        local = c - tile_base
+        row = local >> 7
+        col = local & (LANES - 1)
+        oh_row = (
+            row[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (block, tile_rows), 1)
+        ).astype(jnp.bfloat16)
+        oh_col = (
+            col[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+        ).astype(jnp.bfloat16)
+        acc_ref[...] += jax.lax.dot_general(
+            oh_row, oh_col,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    counts = jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
+    old = dense_in_ref[...].astype(jnp.int32)
+    new = jnp.minimum(old + counts, 255)
+    dense_out_ref[...] = new.astype(jnp.uint8)
+
+
+def accumulate_sorted_pallas(
+    dense2d: jax.Array,
+    sorted_codes: jax.Array,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jax.Array:
+    """Apply sorted int32 codes to dense2d [R, 128] uint8 (R % tile_rows == 0).
+
+    Codes >= R*128 (sentinels/out-of-range) are ignored. Returns the updated
+    dense2d; safe to donate.
+    """
+    r, lanes = dense2d.shape
+    assert lanes == LANES and r % tile_rows == 0
+    n_tiles = r // tile_rows
+    m = sorted_codes.shape[0]
+
+    bounds = (
+        jnp.arange(n_tiles + 1, dtype=sorted_codes.dtype) * (tile_rows * LANES)
+    )
+    offsets = jnp.searchsorted(sorted_codes, bounds).astype(jnp.int32)
+    # pad so the last block's DMA never reads out of bounds
+    codes_pad = jnp.concatenate(
+        [sorted_codes.astype(jnp.int32),
+         jnp.full((block,), np.int32(2**31 - 1), jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # codes stay in HBM
+            pl.BlockSpec(
+                # t*0 keeps the index int32 under jax_enable_x64 (a python 0
+                # would trace as int64, which Mosaic cannot legalize)
+                (tile_rows, LANES), lambda t, offs: (t, t * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, LANES), lambda t, offs: (t, t * 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((block,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_kernel, tile_rows=tile_rows, block=block)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.uint8),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * tile_rows * LANES // max(block, 1),
+            bytes_accessed=2 * r * LANES + 4 * m,
+            transcendentals=0,
+        ),
+    )(offsets, codes_pad, dense2d)
+
+
+def saturating_accumulate_tiled(
+    dense: jax.Array,
+    codes: jax.Array,
+    sentinel: int,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for ops.histogram.saturating_accumulate using the
+    Pallas sweep (dense [D] uint8, D % (tile_rows*128) == 0)."""
+    d = dense.shape[0]
+    sorted_codes = jnp.sort(codes.astype(jnp.int32))
+    num_valid = (codes < sentinel).sum(dtype=jnp.int64)
+    dense2d = dense.reshape(d // LANES, LANES)
+    out = accumulate_sorted_pallas(
+        dense2d, sorted_codes, tile_rows=tile_rows, block=block,
+        interpret=interpret,
+    )
+    return out.reshape(d), num_valid

@@ -84,10 +84,12 @@ def make_sharded_accumulate(
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for the sharded histogram.
 
-    init_fn() → dense [S, local] uint8, device-sharded.
-    step_fn(dense, chunks[R*S, span]) → (dense, num_valid, max_bucket)
-      where R = data-axis size; ``max_bucket`` must stay <= capacity
-      (checked by the caller against ``step_fn.capacity``).
+    init_fn() → (dense [S, local] uint8 device-sharded, num_valid int64,
+                 max_bucket int32) — the two scalars are carried on-device so
+    the step loop never syncs (mid-stream host syncs stall the pipeline).
+    step_fn(state, chunks[R*S, span]) → state'
+      where R = data-axis size; after the loop, ``max_bucket`` must be
+      checked against ``step_fn.capacity`` (overflow invalidates the run).
     """
     n_data = mesh.shape[DATA_AXIS]
     n_shards = mesh.shape[SHARD_AXIS]
@@ -104,7 +106,7 @@ def make_sharded_accumulate(
     # keep the code dtype until after the owner split to stay exact
     local_dt = jnp.int32 if local_size <= 2**31 - 1 else jnp.int64
 
-    def per_chip(dense_local, chunk_rows):
+    def per_chip(dense_local, nk_in, maxb_in, chunk_rows):
         # dense_local: [1, local_size]; chunk_rows: [1, span]
         codes = canonical_codes(chunk_rows[0], kmer_len)
         valid = codes < data_size
@@ -142,8 +144,10 @@ def make_sharded_accumulate(
         new_dense, _ = saturating_accumulate(
             dense_local[0], recv, sentinel=local_size
         )
-        num_valid = jax.lax.psum(num_valid, (DATA_AXIS, SHARD_AXIS))
-        max_bucket = jax.lax.pmax(max_bucket, (DATA_AXIS, SHARD_AXIS))
+        num_valid = nk_in + jax.lax.psum(num_valid, (DATA_AXIS, SHARD_AXIS))
+        max_bucket = jnp.maximum(
+            maxb_in, jax.lax.pmax(max_bucket, (DATA_AXIS, SHARD_AXIS))
+        ).astype(jnp.int32)
         return new_dense[None, :], num_valid, max_bucket
 
     from jax import shard_map
@@ -151,23 +155,30 @@ def make_sharded_accumulate(
     stepped = shard_map(
         per_chip,
         mesh=mesh,
-        in_specs=(P(SHARD_AXIS, None), P((DATA_AXIS, SHARD_AXIS), None)),
+        in_specs=(P(SHARD_AXIS, None), P(), P(),
+                  P((DATA_AXIS, SHARD_AXIS), None)),
         out_specs=(P(SHARD_AXIS, None), P(), P()),
         check_vma=False,
     )
-    step_jit = jax.jit(stepped, donate_argnums=0)
+    step_jit = jax.jit(stepped, donate_argnums=(0, 1, 2))
 
     dense_sharding = NamedSharding(mesh, P(SHARD_AXIS, None))
     chunk_sharding = NamedSharding(mesh, P((DATA_AXIS, SHARD_AXIS), None))
 
     def init_fn():
-        return jax.device_put(
-            jnp.zeros((n_shards, local_size), dtype=jnp.uint8), dense_sharding
+        return (
+            jax.device_put(
+                jnp.zeros((n_shards, local_size), dtype=jnp.uint8),
+                dense_sharding,
+            ),
+            jnp.zeros((), dtype=jnp.int64),
+            jnp.zeros((), dtype=jnp.int32),
         )
 
-    def step_fn(dense, chunk_rows):
+    def step_fn(state, chunk_rows):
+        dense, nk, maxb = state
         chunk_rows = jax.device_put(chunk_rows, chunk_sharding)
-        return step_jit(dense, chunk_rows)
+        return step_jit(dense, nk, maxb, chunk_rows)
 
     step_fn.capacity = capacity
     step_fn.rows = n_data * n_shards

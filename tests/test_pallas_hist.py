@@ -1,0 +1,80 @@
+"""Pallas tile-sweep accumulate (interpret mode on CPU) vs oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pykmer_tpu.oracle import oracle_count_stream
+from pykmer_tpu.ops.pallas_hist import saturating_accumulate_tiled
+
+
+@pytest.mark.parametrize("tile_rows,block", [(8, 8), (16, 32)])
+def test_pallas_accumulate_matches_oracle(rng, tile_rows, block):
+    kmer_len = 7  # D = 16384 cells = 128 rows x 128 lanes
+    d = 4**kmer_len
+    dense = jnp.zeros(d, dtype=jnp.uint8)
+    batches = []
+    for _ in range(3):
+        codes = rng.integers(0, d, size=1000).astype(np.int64)
+        # hotspots to cross saturation + empty tiles
+        codes[:300] = rng.integers(0, 64, size=300)
+        batches.append(codes)
+        padded = np.concatenate([codes, np.full(24, d, dtype=np.int64)])
+        dense, nvalid = saturating_accumulate_tiled(
+            dense, jnp.asarray(padded), sentinel=d,
+            tile_rows=tile_rows, block=block, interpret=True,
+        )
+        assert int(nvalid) == codes.shape[0]
+    want = oracle_count_stream(batches, kmer_len, flush_every=10**9)
+    assert np.array_equal(np.asarray(dense), want)
+
+
+def test_pallas_accumulate_saturation(rng):
+    d = 4**7
+    dense = jnp.zeros(d, dtype=jnp.uint8)
+    codes = np.zeros(600, dtype=np.int64)  # one cell, 600 hits
+    dense, _ = saturating_accumulate_tiled(
+        dense, jnp.asarray(codes), sentinel=d,
+        tile_rows=8, block=16, interpret=True,
+    )
+    out = np.asarray(dense)
+    assert out[0] == 255
+    assert out[1:].sum() == 0
+
+
+def test_pallas_accumulate_empty(rng):
+    d = 4**7
+    dense = jnp.zeros(d, dtype=jnp.uint8)
+    codes = np.full(64, d, dtype=np.int64)  # all sentinels
+    dense, nvalid = saturating_accumulate_tiled(
+        dense, jnp.asarray(codes), sentinel=d,
+        tile_rows=8, block=16, interpret=True,
+    )
+    assert int(nvalid) == 0
+    assert np.asarray(dense).sum() == 0
+
+
+def test_fetch_dense_packed_roundtrip(rng):
+    import jax.numpy as jnp
+    from pykmer_tpu.ops.readback import fetch_dense, pack_nibbles, unpack_nibbles
+
+    # values crossing the escape boundary incl. 15 and 255
+    host = rng.integers(0, 256, size=4096).astype(np.uint8)
+    host[::7] = 0
+    host[3] = 15
+    host[5] = 255
+    dense = jnp.asarray(host)
+    assert np.array_equal(fetch_dense(dense, mode="raw"), host)
+    assert np.array_equal(fetch_dense(dense, mode="packed"), host)
+    packed = np.asarray(pack_nibbles(dense))
+    un = unpack_nibbles(packed)
+    assert np.array_equal(un, np.minimum(host, 15))
+
+
+def test_fetch_dense_packed_no_escapes(rng):
+    import jax.numpy as jnp
+    from pykmer_tpu.ops.readback import fetch_dense
+
+    host = rng.integers(0, 15, size=2048).astype(np.uint8)
+    dense = jnp.asarray(host)
+    assert np.array_equal(fetch_dense(dense, mode="packed"), host)

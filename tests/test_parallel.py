@@ -41,13 +41,13 @@ def test_sharded_accumulate_matches_oracle(rng, n_data, n_shards):
     rows = step_fn.rows
     n_steps = (n_chunks + rows - 1) // rows
 
-    dense = init_fn()
-    num = 0
+    state = init_fn()
     for s in range(n_steps):
         chunks = shard_batch_chunks(padded, kmer_len, chunk_windows, rows, s)
-        dense, nvalid, maxb = step_fn(dense, chunks)
-        assert int(maxb) <= step_fn.capacity, "bucket overflow"
-        num = int(nvalid) + num
+        state = step_fn(state, chunks)
+    dense, nk, maxb = state
+    assert int(maxb) <= step_fn.capacity, "bucket overflow"
+    num = int(nk)
     got = interleaved_to_flat(np.asarray(dense))
     assert num == want_codes.shape[0]
     assert np.array_equal(got, want)
@@ -62,13 +62,13 @@ def test_sharded_accumulate_saturation(rng):
         mesh, kmer_len, chunk_windows=600, capacity_factor=2.0
     )
     padded, n_chunks = chunk_stream(seq, kmer_len, 600)
-    dense = init_fn()
+    state = init_fn()
     chunks = shard_batch_chunks(padded, kmer_len, 600, step_fn.rows, 0)
-    dense, nvalid, maxb = step_fn(dense, chunks)
+    dense, nk, maxb = step_fn(state, chunks)
     assert int(maxb) <= step_fn.capacity
     flat = interleaved_to_flat(np.asarray(dense))
     assert flat[0] == 255
-    assert int(nvalid) == 600
+    assert int(nk) == 600
 
 
 def test_sharded_overflow_detected(rng):
@@ -80,9 +80,9 @@ def test_sharded_overflow_detected(rng):
         mesh, kmer_len, chunk_windows=4096, capacity_factor=0.5
     )
     padded, _ = chunk_stream(seq, kmer_len, 4096)
-    dense = init_fn()
+    state = init_fn()
     chunks = shard_batch_chunks(padded, kmer_len, 4096, step_fn.rows, 0)
-    _, _, maxb = step_fn(dense, chunks)
+    _, _, maxb = step_fn(state, chunks)
     assert int(maxb) > step_fn.capacity  # surfaced, caller must abort
 
 
