@@ -29,7 +29,7 @@ class IndexConfig:
     # Bounded by XLA compile time (scales with batch size on TPU; the
     # persistent compilation cache makes it once-ever) and h2d transfer
     # granularity; 2M windows balances both.
-    chunk_windows: int = 1 << 21
+    chunk_windows: int = 1 << 22
     # kmer codes buffered on device before a dense-array accumulate
     flush_every: int = DEFAULT_FLUSH_EVERY
     min_frag_size: int = DEFAULT_MIN_FRAG_SIZE

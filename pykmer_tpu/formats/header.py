@@ -77,6 +77,25 @@ def frag_size_autotune(
     return frag_size
 
 
+def fast_counts256(arr: np.ndarray) -> np.ndarray:
+    """256-bin bincount of a uint8 array without numpy's int64 cast+copy.
+
+    Uses the native C++ pass when built; otherwise chunked np.bincount (the
+    whole-array call materialises an 8x int64 copy — 60s+ at 4^15).
+    """
+    arr = arr.reshape(-1)
+    try:
+        from ..io.native import count256_native
+
+        return count256_native(arr)
+    except ImportError:
+        bc = np.zeros(256, dtype=np.int64)
+        step = 1 << 26
+        for lo in range(0, arr.shape[0], step):
+            bc += np.bincount(arr[lo : lo + step], minlength=256)
+        return bc
+
+
 def stats_from_counts256(counts256: np.ndarray) -> Dict[str, Any]:
     """Derive all `.kin.json` stats fields from a 256-bin value histogram.
 
@@ -106,7 +125,7 @@ def array_stats(blocks: Iterable[np.ndarray]) -> Dict[str, Any]:
     """Stats over a streamed dense array (for files larger than RAM)."""
     bc = np.zeros(256, dtype=np.int64)
     for block in blocks:
-        bc += np.bincount(block, minlength=256)
+        bc += fast_counts256(block)
     return stats_from_counts256(bc)
 
 

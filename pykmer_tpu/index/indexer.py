@@ -68,6 +68,28 @@ def _concat_records(
     return stream, chromosomes, total_bp
 
 
+def _load_joined_stream(input_file: str, kmer_len: int):
+    """FASTA → (joined code stream, chromosomes, total_bp).
+
+    Native one-pass path (decode + separator-join + valid-run detection in
+    C++) with the NumPy record path as fallback — identical semantics
+    (tested)."""
+    from ..io.fasta import open_input_bytes
+
+    data = open_input_bytes(input_file)
+    try:
+        from ..io.native import fasta_decode_joined_native
+
+        result = fasta_decode_joined_native(data, kmer_len)
+        if result is not None:
+            return result
+    except ImportError:
+        pass
+    from ..io.fasta import decode_fasta_bytes
+
+    return _concat_records(decode_fasta_bytes(data), kmer_len)
+
+
 def create_fasta_index(
     project_name: str,
     sample_name: str,
@@ -99,9 +121,12 @@ def create_fasta_index(
 
     kinfmt.remove_outputs(input_file, kmer_len, overwrite)
 
+    from ..utils.profiling import StageTimer
+
+    stages = StageTimer()
     timer = header.timer
-    records = read_fasta_codes(input_file)
-    stream, chromosomes, total_bp = _concat_records(records, kmer_len)
+    with stages.stage("fasta decode + join"):
+        stream, chromosomes, total_bp = _load_joined_stream(input_file, kmer_len)
     if total_bp >= PRINT_EVERY:
         timer.update(total_bp)
     if verbose:
@@ -114,14 +139,16 @@ def create_fasta_index(
 
     if stream.shape[0] >= kmer_len:
         padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
-        if strategy == "device":
-            dense_np, num_kmers = _accumulate_device(
-                padded, n_chunks, kmer_len, config, data_size, timer, verbose
-            )
-        else:
-            dense_np, num_kmers = _accumulate_host(
-                padded, n_chunks, kmer_len, config, data_size, timer, verbose
-            )
+        with stages.stage("device accumulate + fetch"):
+            if strategy == "device":
+                dense_np, num_kmers = _accumulate_device(
+                    padded, n_chunks, kmer_len, config, data_size, timer,
+                    verbose, stages,
+                )
+            else:
+                dense_np, num_kmers = _accumulate_host(
+                    padded, n_chunks, kmer_len, config, data_size, timer, verbose
+                )
     else:
         dense_np, num_kmers = np.zeros(data_size, dtype=np.uint8), 0
 
@@ -131,21 +158,30 @@ def create_fasta_index(
         timer.update(total_bp)
 
     tmp = header.index_tmp_file
-    kinfmt.write_kin_array(tmp, dense_np)
+    with stages.stage("write .kin"):
+        kinfmt.write_kin_array(tmp, dense_np)
 
     header.num_kmers = int(num_kmers)
     header.chromosomes = chromosomes
-    header.write_metadata(tmp, stats_counts256=np.bincount(dense_np, minlength=256))
+    with stages.stage("stats + metadata"):
+        from ..formats.header import fast_counts256
+
+        header.write_metadata(tmp, stats_counts256=fast_counts256(dense_np))
 
     if verify:
         # reference's end-to-end invariant (indexer.py:406-407): stats derived
         # from the written file must equal the in-memory ones
-        fresh = KinHeader(project_name, input_file=input_file, kmer_len=kmer_len)
-        fresh.update_stats_from_file(tmp)
-        if fresh.hist != header.hist or fresh.vals_sum != header.vals_sum:
-            raise AssertionError("written .kin does not match computed stats")
+        with stages.stage("verify"):
+            fresh = KinHeader(project_name, input_file=input_file, kmer_len=kmer_len)
+            fresh.update_stats_from_file(tmp)
+            if fresh.hist != header.hist or fresh.vals_sum != header.vals_sum:
+                raise AssertionError("written .kin does not match computed stats")
 
     os.rename(tmp, header.index_file_root)
+    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+        import sys
+
+        print("stage timing:\n" + stages.report(), file=sys.stderr)
     if verbose:
         print("done")
     return header
@@ -164,7 +200,7 @@ def _use_pallas_kernel(config: IndexConfig, data_size: int, kmer_len: int) -> bo
     return (
         jax.default_backend() == "tpu"
         and kmer_len <= 15
-        and data_size % (1024 * 128) == 0
+        and data_size % (128 * 128) == 0  # K >= 7
     )
 
 
@@ -176,6 +212,7 @@ def _accumulate_device(
     data_size: int,
     timer: Timer,
     verbose: bool,
+    stages=None,
 ) -> Tuple[np.ndarray, int]:
     import jax
     import jax.numpy as jnp
@@ -185,17 +222,22 @@ def _accumulate_device(
     from ..ops.readback import fetch_dense
 
     use_pallas = _use_pallas_kernel(config, data_size, kmer_len)
+    # the dense array lives 2D [D/128, 128] on device: giant 1D programs
+    # (2^30 elements) trigger pathological XLA TPU compile times
+    two_d = data_size % 128 == 0
 
     def step(dense, nk, chunk):
         codes = canonical_codes(chunk, kmer_len)
         if use_pallas:
-            from ..ops.pallas_hist import saturating_accumulate_tiled
+            from ..ops.pallas_hist import accumulate_sorted_pallas
 
-            dense, nvalid = saturating_accumulate_tiled(
-                dense, codes, sentinel=data_size
-            )
+            sorted_codes = jnp.sort(codes.astype(jnp.int32))
+            nvalid = (codes < data_size).sum(dtype=jnp.int64)
+            dense = accumulate_sorted_pallas(dense, sorted_codes)
         else:
-            dense, nvalid = saturating_accumulate(dense, codes, sentinel=data_size)
+            flat = dense.reshape(-1)
+            flat, nvalid = saturating_accumulate(flat, codes, sentinel=data_size)
+            dense = flat.reshape(dense.shape)
         return dense, nk + nvalid
 
     # fully asynchronous dispatch: the k-mer counter is carried on-device and
@@ -203,16 +245,25 @@ def _accumulate_device(
     # (and costs seconds over tunneled hosts)
     step_jit = jax.jit(step, donate_argnums=(0, 1))
 
-    dense = jnp.zeros(data_size, dtype=jnp.uint8)
-    nk = jnp.zeros((), dtype=jnp.int64)
-    done_windows = 0
-    for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
-        dense, nk = step_jit(dense, nk, jnp.asarray(chunk))
-        done_windows += config.chunk_windows
-        if verbose and n_chunks > 1:
-            print(f"  dispatched windows {done_windows:15,d}")
-    num_kmers = int(nk)
-    return fetch_dense(dense, mode=config.readback), num_kmers
+    from ..utils.profiling import StageTimer
+
+    stages = stages or StageTimer()
+    with stages.stage("dense init"):
+        shape = (data_size // 128, 128) if two_d else (data_size,)
+        dense = jnp.zeros(shape, dtype=jnp.uint8)
+        nk = jnp.zeros((), dtype=jnp.int64)
+    with stages.stage("step dispatch"):
+        done_windows = 0
+        for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
+            dense, nk = step_jit(dense, nk, jnp.asarray(chunk))
+            done_windows += config.chunk_windows
+            if verbose and n_chunks > 1:
+                print(f"  dispatched windows {done_windows:15,d}")
+    with stages.stage("num_kmers sync"):
+        num_kmers = int(nk)
+    with stages.stage("dense fetch"):
+        result = fetch_dense(dense, mode=config.readback)
+    return result, num_kmers
 
 
 def _accumulate_host(

@@ -33,7 +33,7 @@ from ..parallel.histogram import (
 )
 from ..parallel.mesh import make_mesh
 from ..parallel import multihost
-from .indexer import _concat_records, PRINT_EVERY
+from .indexer import _load_joined_stream, PRINT_EVERY
 
 
 def create_fasta_index_sharded(
@@ -73,8 +73,7 @@ def create_fasta_index_sharded(
         kinfmt.remove_outputs(input_file, kmer_len, overwrite)
 
     timer = header.timer
-    records = read_fasta_codes(input_file)
-    stream, chromosomes, total_bp = _concat_records(records, kmer_len)
+    stream, chromosomes, total_bp = _load_joined_stream(input_file, kmer_len)
     if total_bp >= PRINT_EVERY:
         timer.update(total_bp)
 

@@ -114,3 +114,59 @@ def gzip_decompress_native(path: str, threads: int = 2) -> Optional[bytes]:
             return None
         return out[:got].tobytes()
     return None
+
+
+_lib.count256.restype = None
+_lib.count256.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
+
+
+def count256_native(arr: np.ndarray) -> np.ndarray:
+    assert arr.dtype == np.uint8
+    arr = np.ascontiguousarray(arr.reshape(-1))
+    out = np.zeros(256, dtype=np.int64)
+    _lib.count256(arr.ctypes.data, arr.shape[0], out.ctypes.data)
+    return out
+
+
+_lib.fasta_decode_joined.restype = ctypes.c_long
+_lib.fasta_decode_joined.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_long, ctypes.c_void_p,
+]
+
+
+def fasta_decode_joined_native(data: bytes, kmer_len: int):
+    """One-pass parse into the indexer's joined stream.
+
+    Returns (stream_codes, chromosomes, total_bp) where chromosomes lists
+    (name, seq_len) for records with at least one valid k-mer window —
+    reference indexer.py:345-351 semantics — or None on overflow.
+    """
+    n = len(data)
+    max_recs = data.count(b">") + 1
+    codes = np.empty(n + max_recs * (kmer_len - 1), dtype=np.uint8)
+    seq_len = np.empty(max_recs, dtype=np.int64)
+    has_valid = np.empty(max_recs, dtype=np.uint8)
+    name_off = np.empty(max_recs, dtype=np.int64)
+    name_len = np.empty(max_recs, dtype=np.int64)
+    out_len = np.zeros(1, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
+    n_recs = _lib.fasta_decode_joined(
+        buf.ctypes.data if n else None, n, kmer_len, codes.ctypes.data,
+        seq_len.ctypes.data, has_valid.ctypes.data,
+        name_off.ctypes.data, name_len.ctypes.data,
+        max_recs, out_len.ctypes.data,
+    )
+    if n_recs < 0:
+        return None
+    chromosomes = [
+        (
+            data[name_off[r] : name_off[r] + name_len[r]].decode(errors="replace"),
+            int(seq_len[r]),
+        )
+        for r in range(n_recs)
+        if has_valid[r]
+    ]
+    total_bp = int(seq_len[:n_recs].sum()) if n_recs else 0
+    return codes[: out_len[0]], chromosomes, total_bp

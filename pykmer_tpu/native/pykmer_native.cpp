@@ -250,3 +250,74 @@ long gzip_decompress(const uint8_t* data, long n, uint8_t* out, long out_cap,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// 256-bin value histogram of a byte array (numpy's bincount casts to int64
+// and copies; this is a single streaming pass).
+void count256(const uint8_t* data, long n, long* out) {
+  long c[256] = {0};
+  for (long i = 0; i < n; i++) c[data[i]]++;
+  for (int i = 0; i < 256; i++) out[i] = c[i];
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// FASTA parse directly into the indexer's separator-joined stream:
+// records' codes concatenated with (K-1) invalid bases (code 4) between
+// them, so no k-mer window spans two records. Also reports per-record
+// sequence length and whether the record contains >= K consecutive valid
+// bases (i.e. contributes at least one k-mer).
+// Returns n_recs, or -1 if max_recs exceeded. Caller allocates:
+//   codes:    capacity >= n + (max_recs)*(k-1)
+//   *codes_len_out: final stream length
+long fasta_decode_joined(const uint8_t* data, long n, long k, uint8_t* codes,
+                         long* rec_seq_len, uint8_t* rec_has_valid,
+                         long* rec_name_off, long* rec_name_len,
+                         long max_recs, long* codes_len_out) {
+  long n_recs = 0;
+  long out = 0;
+  long run = 0;          // current valid-base run in this record
+  long pos = 0;
+  while (pos < n) {
+    const uint8_t* nl =
+        (const uint8_t*)memchr(data + pos, '\n', (size_t)(n - pos));
+    long eol = nl ? (long)(nl - data) : n;
+    long a = pos, b = eol;
+    while (a < b && is_strip_ws(data[a])) a++;
+    while (b > a && is_strip_ws(data[b - 1])) b--;
+    if (a < b) {
+      if (data[a] == '>') {
+        if (n_recs >= max_recs) return -1;
+        if (n_recs > 0) {
+          for (long s = 0; s < k - 1; s++) codes[out++] = 4;
+        }
+        rec_name_off[n_recs] = a + 1;
+        rec_name_len[n_recs] = b - (a + 1);
+        rec_seq_len[n_recs] = 0;
+        rec_has_valid[n_recs] = 0;
+        n_recs++;
+        run = 0;
+      } else if (n_recs > 0) {
+        long r = n_recs - 1;
+        rec_seq_len[r] += b - a;
+        for (long i = a; i < b; i++) {
+          uint8_t c = LUT.conv[data[i]];
+          codes[out++] = c;
+          if (c < 4) {
+            if (++run >= k) rec_has_valid[r] = 1;
+          } else {
+            run = 0;
+          }
+        }
+      }
+    }
+    pos = eol + 1;
+  }
+  *codes_len_out = out;
+  return n_recs;
+}
+
+}  // extern "C"

@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEFAULT_TILE_ROWS = 1024
+DEFAULT_TILE_ROWS = 4096
 DEFAULT_BLOCK = 1024
 
 
@@ -45,8 +45,6 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
-
-    acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # Mosaic requires dynamic VMEM slices aligned to the (1024,) int32
     # tiling, so update blocks are `block`-aligned windows around the tile's
@@ -68,27 +66,38 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
         local = c - tile_base
         row = local >> 7
         col = local & (LANES - 1)
-        oh_row = (
-            row[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (block, tile_rows), 1)
+        # row one-hot is built already transposed ([TR, B]) so the matmul
+        # contracts over the last/first dims MXU-natively — contracting dim 0
+        # of a [B, TR] operand costs a VMEM relayout per block
+        oh_row_t = (
+            row[None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (tile_rows, block), 0)
         ).astype(jnp.bfloat16)
         oh_col = (
             col[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
         ).astype(jnp.bfloat16)
         acc_ref[...] += jax.lax.dot_general(
-            oh_row, oh_col,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            oh_row_t, oh_col,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return 0
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    @pl.when(end > start)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        jax.lax.fori_loop(0, n_blocks, body, 0)
+        counts = jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
+        old = dense_in_ref[...].astype(jnp.int32)
+        new = jnp.minimum(old + counts, 255)
+        dense_out_ref[...] = new.astype(jnp.uint8)
 
-    counts = jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
-    old = dense_in_ref[...].astype(jnp.int32)
-    new = jnp.minimum(old + counts, 255)
-    dense_out_ref[...] = new.astype(jnp.uint8)
+    @pl.when(end <= start)
+    def _():
+        # untouched tile: the pipeline still writes the out block back, so
+        # it must hold the original data
+        dense_out_ref[...] = dense_in_ref[...]
 
 
 def accumulate_sorted_pallas(
@@ -104,6 +113,7 @@ def accumulate_sorted_pallas(
     dense2d; safe to donate.
     """
     r, lanes = dense2d.shape
+    tile_rows = min(tile_rows, r)
     assert lanes == LANES and r % tile_rows == 0
     n_tiles = r // tile_rows
     m = sorted_codes.shape[0]
@@ -166,6 +176,7 @@ def saturating_accumulate_tiled(
     """Drop-in replacement for ops.histogram.saturating_accumulate using the
     Pallas sweep (dense [D] uint8, D % (tile_rows*128) == 0)."""
     d = dense.shape[0]
+    tile_rows = min(tile_rows, max(d // LANES, 1))
     sorted_codes = jnp.sort(codes.astype(jnp.int32))
     num_valid = (codes < sentinel).sum(dtype=jnp.int64)
     dense2d = dense.reshape(d // LANES, LANES)

@@ -104,3 +104,27 @@ def test_native_parity(tmp_path, rng):
         for r, rec in enumerate(expected):
             got = codes[starts[r] : starts[r + 1]]
             assert np.array_equal(got, rec.codes), text
+
+
+def test_native_joined_decode_parity(tmp_path, rng):
+    """C++ joined decode == python decode+concat on tricky inputs."""
+    native = pytest.importorskip("pykmer_tpu.io.native")
+    from pykmer_tpu.io.fasta import decode_fasta_bytes
+    from pykmer_tpu.index.indexer import _concat_records
+    from test_fasta import CASES
+    from conftest import make_random_fasta
+    import os
+
+    texts = list(CASES)
+    path = os.path.join(str(tmp_path), "rj.fa")
+    make_random_fasta(path, rng, n_records=5, lengths=(300, 4, 90, 1000, 55))
+    texts.append(open(path).read())
+    for kmer_len in (3, 7):
+        for text in texts:
+            data = text.encode()
+            got = native.fasta_decode_joined_native(data, kmer_len)
+            assert got is not None
+            want = _concat_records(decode_fasta_bytes(data), kmer_len)
+            assert np.array_equal(got[0], want[0]), text
+            assert got[1] == [tuple(c) for c in want[1]] or got[1] == want[1], text
+            assert got[2] == want[2], text
