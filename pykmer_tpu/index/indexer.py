@@ -130,7 +130,7 @@ def create_fasta_index(
     if total_bp >= PRINT_EVERY:
         timer.update(total_bp)
     if verbose:
-        print(f"  records {len(records):7,d} bp {total_bp:15,d}")
+        print(f"  records {len(chromosomes):7,d} bp {total_bp:15,d}")
 
     strategy = config.accumulate
     if strategy == "auto":
