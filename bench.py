@@ -49,7 +49,10 @@ def make_genome(path: str, total_bp: int, seed: int = 0) -> None:
 
 def main() -> None:
     kmer_len = int(os.environ.get("BENCH_K", "15"))
-    total_bp = int(os.environ.get("BENCH_BP", str(2**28)))
+    # default input size mirrors the reference's headline benchmark input
+    # (~840 Mbp tomato genome, README.md:17,49); fixed per-run costs (the
+    # 4^K dense-plane fetch) amortise over it the same way
+    total_bp = int(os.environ.get("BENCH_BP", str(840_000_000)))
     verify = os.environ.get("BENCH_VERIFY", "0") == "1"
     do_write = os.environ.get("BENCH_WRITE", "1") == "1"
 

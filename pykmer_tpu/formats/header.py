@@ -255,15 +255,24 @@ class KinHeader:
         for key, val in stats.items():
             setattr(self, key, val)
 
-    def update_provenance(self, index_file: str) -> None:
-        """Checksums, sizes, timestamps of input + output (tools.py:273-291)."""
+    def update_provenance(
+        self,
+        index_file: str,
+        input_checksum: Optional[str] = None,
+        output_checksum: Optional[str] = None,
+    ) -> None:
+        """Checksums, sizes, timestamps of input + output (tools.py:273-291).
+
+        Checksums may be passed in precomputed (e.g. hashed from the
+        in-memory array / in a background thread overlapping the device
+        fetch) — values are identical to hashing the files."""
         self.input_file_size = os.path.getsize(self.input_file_path)
         self.input_file_ctime = os.path.getctime(self.input_file_path)
-        self.input_file_cheksum = sha256_file(self.input_file_path)
+        self.input_file_cheksum = input_checksum or sha256_file(self.input_file_path)
 
         self.output_file_size = os.path.getsize(index_file)
         self.output_file_ctime = os.path.getctime(index_file)
-        self.output_file_cheksum = sha256_file(index_file)
+        self.output_file_cheksum = output_checksum or sha256_file(index_file)
 
         self.hostname = socket.gethostname()
         self.checksum_script = sha256_file(os.path.abspath(__file__))
@@ -287,7 +296,13 @@ class KinHeader:
     def to_json(self, indent: int = 1, sort_keys: bool = True) -> str:
         return json.dumps(self.to_dict(), indent=indent, sort_keys=sort_keys)
 
-    def write_metadata(self, index_file: str, stats_counts256: Optional[np.ndarray] = None) -> None:
+    def write_metadata(
+        self,
+        index_file: str,
+        stats_counts256: Optional[np.ndarray] = None,
+        input_checksum: Optional[str] = None,
+        output_checksum: Optional[str] = None,
+    ) -> None:
         """Compute provenance + stats and write `.kin.json`.
 
         ``stats_counts256``: device-computed 256-bin value histogram; when
@@ -298,7 +313,7 @@ class KinHeader:
             raise ValueError("num_kmers not set (no k-mers indexed?)")
         if not self.chromosomes:
             raise ValueError("chromosomes not set")
-        self.update_provenance(index_file)
+        self.update_provenance(index_file, input_checksum, output_checksum)
         if stats_counts256 is not None:
             self.set_stats_from_counts256(stats_counts256)
         else:

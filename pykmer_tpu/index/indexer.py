@@ -127,6 +127,20 @@ def create_fasta_index(
     timer = header.timer
     with stages.stage("fasta decode + join"):
         stream, chromosomes, total_bp = _load_joined_stream(input_file, kmer_len)
+
+    # input checksum in a background thread (hashlib releases the GIL):
+    # overlaps the device accumulate + fetch phases
+    import threading
+
+    from ..utils.checksum import sha256_file
+
+    input_ck: dict = {}
+
+    def _hash_input() -> None:
+        input_ck["hex"] = sha256_file(header.input_file_path)
+
+    ck_thread = threading.Thread(target=_hash_input, daemon=True)
+    ck_thread.start()
     if total_bp >= PRINT_EVERY:
         timer.update(total_bp)
     if verbose:
@@ -158,15 +172,40 @@ def create_fasta_index(
         timer.update(total_bp)
 
     tmp = header.index_tmp_file
-    with stages.stage("write .kin"):
-        kinfmt.write_kin_array(tmp, dense_np)
-
     header.num_kmers = int(num_kmers)
     header.chromosomes = chromosomes
-    with stages.stage("stats + metadata"):
+    with stages.stage("write + stats + metadata"):
+        # three passes over the 1-4^K-byte array run concurrently (each
+        # releases the GIL): .kin write, sha256 of the same bytes the file
+        # holds, and the 256-bin value histogram
+        import hashlib
+
         from ..formats.header import fast_counts256
 
-        header.write_metadata(tmp, stats_counts256=fast_counts256(dense_np))
+        results: dict = {}
+
+        def _hash_out() -> None:
+            results["ck"] = hashlib.sha256(dense_np).hexdigest()
+
+        def _count() -> None:
+            results["counts"] = fast_counts256(dense_np)
+
+        threads = [
+            threading.Thread(target=_hash_out, daemon=True),
+            threading.Thread(target=_count, daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        kinfmt.write_kin_array(tmp, dense_np)
+        for t in threads:
+            t.join()
+        ck_thread.join()
+        header.write_metadata(
+            tmp,
+            stats_counts256=results["counts"],
+            input_checksum=input_ck.get("hex"),
+            output_checksum=results["ck"],
+        )
 
     if verify:
         # reference's end-to-end invariant (indexer.py:406-407): stats derived

@@ -120,6 +120,26 @@ _lib.count256.restype = None
 _lib.count256.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
 
 
+for _name in ("unpack_2bit", "unpack_4bit"):
+    _fn = getattr(_lib, _name)
+    _fn.restype = None
+    _fn.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
+
+
+def unpack_2bit_native(packed: np.ndarray, out: np.ndarray, threads: int = 8) -> None:
+    """Expand 2-bit crumbs to bytes: out[4j+i] = bits [2i,2i+2) of packed[j]."""
+    assert packed.dtype == np.uint8 and out.dtype == np.uint8
+    assert out.shape[0] == 4 * packed.shape[0]
+    _lib.unpack_2bit(packed.ctypes.data, packed.shape[0], out.ctypes.data, threads)
+
+
+def unpack_4bit_native(packed: np.ndarray, out: np.ndarray, threads: int = 8) -> None:
+    """Expand 4-bit nibbles to bytes: out[2j+i] = bits [4i,4i+4) of packed[j]."""
+    assert packed.dtype == np.uint8 and out.dtype == np.uint8
+    assert out.shape[0] == 2 * packed.shape[0]
+    _lib.unpack_4bit(packed.ctypes.data, packed.shape[0], out.ctypes.data, threads)
+
+
 def count256_native(arr: np.ndarray) -> np.ndarray:
     assert arr.dtype == np.uint8
     arr = np.ascontiguousarray(arr.reshape(-1))

@@ -14,6 +14,7 @@
 //   bgzf_decompress         multi-member gzip/BGZF inflate (threaded for
 //                           BGZF, where block boundaries are explicit)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -259,6 +260,60 @@ void count256(const uint8_t* data, long n, long* out) {
   long c[256] = {0};
   for (long i = 0; i < n; i++) c[data[i]]++;
   for (int i = 0; i < 256; i++) out[i] = c[i];
+}
+
+// Expand bit-packed readback planes (see ops/readback.py) to one byte per
+// cell via a 256-entry expansion LUT, threaded over chunks. The numpy
+// fallback's strided stores make 4 cache-hostile passes; this is one
+// sequential pass at memory bandwidth.
+//   unpack_2bit: byte j -> cells 4j..4j+3, cell i in bits [2i, 2i+2)
+//   unpack_4bit: byte j -> cells 2j..2j+1, cell i in bits [4i, 4i+4)
+void unpack_2bit(const uint8_t* packed, long n_bytes, uint8_t* out,
+                 int threads) {
+  static uint32_t lut[256];
+  static bool init = false;
+  if (!init) {
+    for (int b = 0; b < 256; b++)
+      lut[b] = (uint32_t)(b & 3) | ((uint32_t)((b >> 2) & 3) << 8) |
+               ((uint32_t)((b >> 4) & 3) << 16) |
+               ((uint32_t)((b >> 6) & 3) << 24);
+    init = true;
+  }
+  if (threads < 1) threads = 1;
+  long per = (n_bytes + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_bytes, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      uint32_t* dst = reinterpret_cast<uint32_t*>(out) + lo;
+      for (long i = lo; i < hi; i++) dst[i - lo] = lut[packed[i]];
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+void unpack_4bit(const uint8_t* packed, long n_bytes, uint8_t* out,
+                 int threads) {
+  static uint16_t lut[256];
+  static bool init = false;
+  if (!init) {
+    for (int b = 0; b < 256; b++)
+      lut[b] = (uint16_t)(b & 15) | ((uint16_t)(b >> 4) << 8);
+    init = true;
+  }
+  if (threads < 1) threads = 1;
+  long per = (n_bytes + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_bytes, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      uint16_t* dst = reinterpret_cast<uint16_t*>(out) + lo;
+      for (long i = lo; i < hi; i++) dst[i - lo] = lut[packed[i]];
+    });
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -66,9 +66,50 @@ def test_fetch_dense_packed_roundtrip(rng):
     dense = jnp.asarray(host)
     assert np.array_equal(fetch_dense(dense, mode="raw"), host)
     assert np.array_equal(fetch_dense(dense, mode="packed"), host)
+    assert np.array_equal(fetch_dense(dense, mode="2bit"), host)
     packed = np.asarray(pack_nibbles(dense))
     un = unpack_nibbles(packed)
     assert np.array_equal(un, np.minimum(host, 15))
+
+
+def test_fetch_dense_2bit_roundtrip(rng):
+    import jax.numpy as jnp
+    from pykmer_tpu.ops.readback import fetch_dense, pack_2bit, unpack_2bit
+
+    host = rng.integers(0, 256, size=4096).astype(np.uint8)
+    host[::5] = 0
+    host[7] = 3
+    host[11] = 255
+    dense = jnp.asarray(host)
+    assert np.array_equal(fetch_dense(dense, mode="2bit"), host)
+    un = unpack_2bit(np.asarray(pack_2bit(dense)))
+    assert np.array_equal(un, np.minimum(host, 3))
+
+
+def test_unpack_native_matches_numpy(rng, monkeypatch):
+    from pykmer_tpu.ops import readback as rb
+
+    packed = rng.integers(0, 256, size=1024).astype(np.uint8)
+    got2, got4 = rb.unpack_2bit(packed), rb.unpack_nibbles(packed)
+    # force the numpy fallback path
+    monkeypatch.setenv("PYKMER_TPU_NO_NATIVE", "1")
+    import sys
+
+    for m in [m for m in sys.modules if m == "pykmer_tpu.io.native"]:
+        del sys.modules[m]
+    assert np.array_equal(rb.unpack_2bit(packed), got2)
+    assert np.array_equal(rb.unpack_nibbles(packed), got4)
+
+
+def test_fetch_array_mt_slices(rng):
+    import jax.numpy as jnp
+    from pykmer_tpu.ops.readback import fetch_array_mt
+
+    host = rng.integers(0, 256, size=(512, 256)).astype(np.uint8)
+    dev = jnp.asarray(host)
+    # force many slices: 1 row per slice
+    got = fetch_array_mt(dev, slice_bytes=256, threads=4)
+    assert np.array_equal(got, host)
 
 
 def test_fetch_dense_packed_no_escapes(rng):
