@@ -91,11 +91,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.command == "index":
-        cfg = IndexConfig(
-            kmer_len=args.kmer_len,
-            chunk_windows=args.chunk_windows,
-            accumulate=args.accumulate,
-        )
+        try:
+            cfg = IndexConfig(
+                kmer_len=args.kmer_len,
+                chunk_windows=args.chunk_windows,
+                accumulate=args.accumulate,
+            )
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
         if args.shards or args.data_parallel > 1 or args.checkpoint_every:
             from .index import create_fasta_index_sharded
 

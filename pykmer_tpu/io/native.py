@@ -154,9 +154,13 @@ _lib.fasta_decode_joined.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_long, ctypes.c_void_p,
 ]
+_lib.fasta_decode_joined_mt.restype = ctypes.c_long
+_lib.fasta_decode_joined_mt.argtypes = _lib.fasta_decode_joined.argtypes + [
+    ctypes.c_int
+]
 
 
-def fasta_decode_joined_native(data: bytes, kmer_len: int):
+def fasta_decode_joined_native(data: bytes, kmer_len: int, threads: int = 8):
     """One-pass parse into the indexer's joined stream.
 
     Returns (stream_codes, chromosomes, total_bp) where chromosomes lists
@@ -172,11 +176,11 @@ def fasta_decode_joined_native(data: bytes, kmer_len: int):
     name_len = np.empty(max_recs, dtype=np.int64)
     out_len = np.zeros(1, dtype=np.int64)
     buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
-    n_recs = _lib.fasta_decode_joined(
+    n_recs = _lib.fasta_decode_joined_mt(
         buf.ctypes.data if n else None, n, kmer_len, codes.ctypes.data,
         seq_len.ctypes.data, has_valid.ctypes.data,
         name_off.ctypes.data, name_len.ctypes.data,
-        max_recs, out_len.ctypes.data,
+        max_recs, out_len.ctypes.data, threads,
     )
     if n_recs < 0:
         return None

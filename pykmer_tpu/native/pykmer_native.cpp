@@ -257,9 +257,22 @@ extern "C" {
 // 256-bin value histogram of a byte array (numpy's bincount casts to int64
 // and copies; this is a single streaming pass).
 void count256(const uint8_t* data, long n, long* out) {
-  long c[256] = {0};
-  for (long i = 0; i < n; i++) c[data[i]]++;
-  for (int i = 0; i < 256; i++) out[i] = c[i];
+  int threads = n > (16 << 20) ? 8 : 1;
+  long per = (n + threads - 1) / threads;
+  std::vector<std::vector<long>> partial(threads, std::vector<long>(256, 0));
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([&, t, lo, hi] {
+      long* c = partial[t].data();
+      for (long i = lo; i < hi; i++) c[data[i]]++;
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int i = 0; i < 256; i++) out[i] = 0;
+  for (auto& p : partial)
+    for (int i = 0; i < 256; i++) out[i] += p[i];
 }
 
 // Expand bit-packed readback planes (see ops/readback.py) to one byte per
@@ -372,6 +385,114 @@ long fasta_decode_joined(const uint8_t* data, long n, long k, uint8_t* codes,
     pos = eol + 1;
   }
   *codes_len_out = out;
+  return n_recs;
+}
+
+// Threaded variant of fasta_decode_joined: same outputs, bit-identical.
+//   phase 1 (serial, scan-only): line starts of '>' headers (a line is a
+//            header iff its first non-strippable-ws byte is '>');
+//   phase 2 (parallel): each thread decodes a contiguous range of records
+//            into a private buffer with the exact serial per-line semantics;
+//   phase 3 (parallel): prefix-sum buffer lengths, memcpy into `codes`.
+long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
+                            uint8_t* codes, long* rec_seq_len,
+                            uint8_t* rec_has_valid, long* rec_name_off,
+                            long* rec_name_len, long max_recs,
+                            long* codes_len_out, int threads) {
+  if (threads <= 1 || n < (1 << 20))
+    return fasta_decode_joined(data, n, k, codes, rec_seq_len, rec_has_valid,
+                               rec_name_off, rec_name_len, max_recs,
+                               codes_len_out);
+
+  std::vector<long> header_start;
+  {
+    long pos = 0;
+    while (pos < n) {
+      const uint8_t* nl =
+          (const uint8_t*)memchr(data + pos, '\n', (size_t)(n - pos));
+      long eol = nl ? (long)(nl - data) : n;
+      long a = pos;
+      while (a < eol && is_strip_ws(data[a])) a++;
+      if (a < eol && data[a] == '>') header_start.push_back(pos);
+      pos = eol + 1;
+    }
+  }
+  long n_recs = (long)header_start.size();
+  if (n_recs > max_recs) return -1;
+  if (n_recs == 0) {
+    *codes_len_out = 0;
+    return 0;
+  }
+
+  if (threads > (int)n_recs) threads = (int)n_recs;
+  long per = (n_recs + threads - 1) / threads;
+  std::vector<std::vector<uint8_t>> bufs(threads);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long r0 = t * per, r1 = std::min(n_recs, r0 + per);
+    if (r0 >= r1) break;
+    pool.emplace_back([&, t, r0, r1] {
+      long byte_lo = header_start[r0];
+      long byte_hi = (r1 < n_recs) ? header_start[r1] : n;
+      auto& buf = bufs[t];
+      buf.reserve((size_t)(byte_hi - byte_lo) + (size_t)(r1 - r0) * (k - 1));
+      long rec = r0 - 1;  // current record index (r0's header comes first)
+      long run = 0;
+      long pos = byte_lo;
+      while (pos < byte_hi) {
+        const uint8_t* nl = (const uint8_t*)memchr(data + pos, '\n',
+                                                   (size_t)(byte_hi - pos));
+        long eol = nl ? (long)(nl - data) : byte_hi;
+        long a = pos, b = eol;
+        while (a < b && is_strip_ws(data[a])) a++;
+        while (b > a && is_strip_ws(data[b - 1])) b--;
+        if (a < b) {
+          if (data[a] == '>') {
+            rec++;
+            if (rec > r0)  // separator between this thread's own records;
+              buf.insert(buf.end(), (size_t)(k - 1), 4);  // the one before
+                                        // record r0 is added by the stitcher
+            rec_name_off[rec] = a + 1;
+            rec_name_len[rec] = b - (a + 1);
+            rec_seq_len[rec] = 0;
+            rec_has_valid[rec] = 0;
+            run = 0;
+          } else if (rec >= r0) {
+            rec_seq_len[rec] += b - a;
+            for (long i = a; i < b; i++) {
+              uint8_t c = LUT.conv[data[i]];
+              buf.push_back(c);
+              if (c < 4) {
+                if (++run >= k) rec_has_valid[rec] = 1;
+              } else {
+                run = 0;
+              }
+            }
+          }
+        }
+        pos = eol + 1;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+
+  // stitch: sep(k-1) before every thread-chunk except the first (each
+  // thread already emitted separators between its own records)
+  int nbufs = (int)pool.size();
+  std::vector<long> offset(nbufs + 1, 0);
+  for (int t = 0; t < nbufs; t++)
+    offset[t + 1] =
+        offset[t] + (long)bufs[t].size() + (t + 1 < nbufs ? (k - 1) : 0);
+  std::vector<std::thread> pool2;
+  for (int t = 0; t < nbufs; t++) {
+    pool2.emplace_back([&, t] {
+      uint8_t* dst = codes + offset[t];
+      memcpy(dst, bufs[t].data(), bufs[t].size());
+      if (t + 1 < nbufs) memset(dst + bufs[t].size(), 4, (size_t)(k - 1));
+    });
+  }
+  for (auto& th : pool2) th.join();
+  *codes_len_out = offset[nbufs];
   return n_recs;
 }
 
