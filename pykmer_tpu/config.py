@@ -50,6 +50,11 @@ class IndexConfig:
             raise ValueError(
                 f"kmer_len must be a positive odd integer, got {self.kmer_len}"
             )
+        if self.chunk_windows % 2:
+            raise ValueError(
+                f"chunk_windows must be even (nibble-packed upload), "
+                f"got {self.chunk_windows}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,7 +24,7 @@ from ..config import IndexConfig
 from ..formats import kin as kinfmt
 from ..formats.header import KinHeader
 from ..io.fasta import FastaRecord, read_fasta_codes
-from ..ops.encode import chunk_stream, iter_chunks
+from ..ops.encode import chunk_stream
 from ..utils.timer import Timer
 
 PRINT_EVERY = 25_000_000  # progress cadence in bp (reference indexer.py:45)
@@ -256,7 +256,7 @@ def _accumulate_device(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import canonical_codes
+    from ..ops.encode import canonical_codes, unpack_base_nibbles
     from ..ops.histogram import saturating_accumulate
     from ..ops.readback import fetch_dense
 
@@ -265,8 +265,10 @@ def _accumulate_device(
     # (2^30 elements) trigger pathological XLA TPU compile times
     two_d = data_size % 128 == 0
 
-    def step(dense, nk, chunk):
-        codes = canonical_codes(chunk, kmer_len)
+    def step(dense, nk, packed_chunk):
+        # chunks arrive nibble-packed (halves upload bytes); the unpack
+        # fuses into the encode
+        codes = canonical_codes(unpack_base_nibbles(packed_chunk), kmer_len)
         if use_pallas:
             from ..ops.pallas_hist import accumulate_sorted_pallas
 
@@ -291,9 +293,15 @@ def _accumulate_device(
         shape = (data_size // 128, 128) if two_d else (data_size,)
         dense = jnp.zeros(shape, dtype=jnp.uint8)
         nk = jnp.zeros((), dtype=jnp.int64)
+    with stages.stage("host pack"):
+        from ..ops.encode import iter_chunks_packed, pack_base_stream
+
+        packed = pack_base_stream(padded)
     with stages.stage("step dispatch"):
         done_windows = 0
-        for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
+        for chunk in iter_chunks_packed(
+            packed, kmer_len, config.chunk_windows, n_chunks
+        ):
             dense, nk = step_jit(dense, nk, jnp.asarray(chunk))
             done_windows += config.chunk_windows
             if verbose and n_chunks > 1:
@@ -322,17 +330,23 @@ def _accumulate_host(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import canonical_codes
+    from ..ops.encode import (
+        canonical_codes,
+        iter_chunks_packed,
+        pack_base_stream,
+        unpack_base_nibbles,
+    )
 
-    def encode_sort(chunk):
-        codes = canonical_codes(chunk, kmer_len)
+    def encode_sort(packed_chunk):
+        codes = canonical_codes(unpack_base_nibbles(packed_chunk), kmer_len)
         return jnp.sort(codes)
 
     encode_jit = jax.jit(encode_sort)
 
     dense = np.zeros(data_size, dtype=np.uint8)
     num_kmers = 0
-    for chunk in iter_chunks(padded, kmer_len, config.chunk_windows, n_chunks):
+    packed = pack_base_stream(padded)
+    for chunk in iter_chunks_packed(packed, kmer_len, config.chunk_windows, n_chunks):
         sorted_codes = np.asarray(encode_jit(jnp.asarray(chunk)))
         valid = sorted_codes[sorted_codes < data_size]
         num_kmers += int(valid.shape[0])

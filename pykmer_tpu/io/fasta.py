@@ -43,11 +43,12 @@ class FastaRecord:
         return int(self.codes.shape[0])
 
 
-def open_input_bytes(input_file: Optional[str]) -> bytes:
+def open_input_bytes(input_file: Optional[str]):
     """Read the (decompressed) bytes of a FASTA input.
 
     ``None`` reads stdin; ``.gz``/``.bgz`` are gzip-decoded (BGZF is a valid
-    concatenated-gzip stream, reference indexer.py:112-115).
+    concatenated-gzip stream, reference indexer.py:112-115). Returns bytes,
+    or a readonly uint8 ``np.memmap`` for plain files (zero-copy).
     """
     if input_file is None:
         return sys.stdin.buffer.read()
@@ -62,8 +63,12 @@ def open_input_bytes(input_file: Optional[str]) -> bytes:
             pass
         with gzip.open(input_file, "rb") as fh:
             return fh.read()
-    with open(input_file, "rb") as fh:
-        return fh.read()
+    # plain files: zero-copy readonly mmap (decode streams straight from the
+    # page cache instead of paying a full read+copy); empty files can't be
+    # mapped
+    if os.path.getsize(input_file) == 0:
+        return b""
+    return np.memmap(input_file, dtype=np.uint8, mode="r")
 
 
 def _stripped_ws_mask(buf: np.ndarray, ws: np.ndarray, nl: np.ndarray) -> np.ndarray:
@@ -102,11 +107,15 @@ def _ragged_arange(lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-def decode_fasta_bytes(data: bytes) -> List[FastaRecord]:
-    """Parse a whole FASTA buffer into records of base codes."""
-    if not data:
+def decode_fasta_bytes(data) -> List[FastaRecord]:
+    """Parse a whole FASTA buffer (bytes or uint8 ndarray) into records."""
+    if len(data) == 0:
         return []
-    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = (
+        np.asarray(data, dtype=np.uint8)
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, dtype=np.uint8)
+    )
     n = buf.shape[0]
 
     nl = buf == 10
@@ -148,7 +157,7 @@ def decode_fasta_bytes(data: bytes) -> List[FastaRecord]:
 
     records: List[FastaRecord] = []
     for r in range(header_gt.size):
-        name_bytes = data[header_gt[r] + 1 : header_end[r]]
+        name_bytes = buf[header_gt[r] + 1 : header_end[r]].tobytes()
         name = name_bytes.decode(errors="replace").strip()
         seq_from = int(header_end[r]) + 1  # first byte after the header line
         seq_to = int(header_gt[r + 1]) if r + 1 < header_gt.size else n

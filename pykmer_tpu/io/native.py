@@ -60,18 +60,22 @@ _lib.gzip_decompress.argtypes = [
 
 
 def fasta_decode_native(
-    data: bytes,
+    data,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, List[str]]]:
-    """One-pass parse: returns (codes, per-record code offsets, names)."""
+    """One-pass parse of bytes or uint8 ndarray: returns (codes, per-record
+    code offsets, names)."""
     n = len(data)
     if n == 0:
         return np.empty(0, np.uint8), np.zeros(1, np.int64), []
-    max_recs = data.count(b">") + 1
+    if isinstance(data, np.ndarray):
+        buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
+    else:
+        buf = np.frombuffer(data, dtype=np.uint8)
+    max_recs = int(np.count_nonzero(buf == ord(">"))) + 1
     codes = np.empty(n, dtype=np.uint8)
     starts = np.empty(max_recs + 1, dtype=np.int64)
     name_off = np.empty(max_recs, dtype=np.int64)
     name_len = np.empty(max_recs, dtype=np.int64)
-    buf = np.frombuffer(data, dtype=np.uint8)
     n_recs = _lib.fasta_decode(
         buf.ctypes.data, n, codes.ctypes.data,
         starts.ctypes.data, name_off.ctypes.data, name_len.ctypes.data,
@@ -80,7 +84,7 @@ def fasta_decode_native(
     if n_recs < 0:
         return None
     names = [
-        data[name_off[r] : name_off[r] + name_len[r]].decode(errors="replace")
+        buf[name_off[r] : name_off[r] + name_len[r]].tobytes().decode(errors="replace")
         for r in range(n_recs)
     ]
     return codes[: starts[n_recs]], starts[: n_recs + 1].copy(), names
@@ -120,10 +124,33 @@ _lib.count256.restype = None
 _lib.count256.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p]
 
 
-for _name in ("unpack_2bit", "unpack_4bit"):
+_lib.pack_base_nibbles.restype = None
+_lib.pack_base_nibbles.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int
+]
+
+
+def pack_base_nibbles_native(codes: np.ndarray, threads: int = 8) -> np.ndarray:
+    """Pack base codes (0..4) two-per-byte; odd tail padded with invalid 4."""
+    assert codes.dtype == np.uint8
+    codes = np.ascontiguousarray(codes.reshape(-1))
+    out = np.empty((codes.shape[0] + 1) // 2, dtype=np.uint8)
+    _lib.pack_base_nibbles(codes.ctypes.data, codes.shape[0],
+                           out.ctypes.data, threads)
+    return out
+
+
+for _name in ("unpack_2bit", "unpack_3bit", "unpack_4bit"):
     _fn = getattr(_lib, _name)
     _fn.restype = None
     _fn.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
+
+
+def unpack_3bit_native(packed: np.ndarray, out: np.ndarray, threads: int = 8) -> None:
+    """Expand 3-bit fields: out[8g+i] = bits [3i,3i+3) of 24-bit group g."""
+    assert packed.dtype == np.uint8 and out.dtype == np.uint8
+    assert packed.shape[0] % 3 == 0 and out.shape[0] == 8 * (packed.shape[0] // 3)
+    _lib.unpack_3bit(packed.ctypes.data, packed.shape[0], out.ctypes.data, threads)
 
 
 def unpack_2bit_native(packed: np.ndarray, out: np.ndarray, threads: int = 8) -> None:
@@ -160,22 +187,27 @@ _lib.fasta_decode_joined_mt.argtypes = _lib.fasta_decode_joined.argtypes + [
 ]
 
 
-def fasta_decode_joined_native(data: bytes, kmer_len: int, threads: int = 8):
+def fasta_decode_joined_native(data, kmer_len: int, threads: int = 8):
     """One-pass parse into the indexer's joined stream.
 
-    Returns (stream_codes, chromosomes, total_bp) where chromosomes lists
-    (name, seq_len) for records with at least one valid k-mer window —
-    reference indexer.py:345-351 semantics — or None on overflow.
+    ``data``: bytes or uint8 ndarray (e.g. a readonly mmap of the input —
+    zero-copy). Returns (stream_codes, chromosomes, total_bp) where
+    chromosomes lists (name, seq_len) for records with at least one valid
+    k-mer window — reference indexer.py:345-351 semantics — or None on
+    overflow.
     """
     n = len(data)
-    max_recs = data.count(b">") + 1
+    if isinstance(data, np.ndarray):
+        buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
+    else:
+        buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
+    max_recs = int(np.count_nonzero(buf == ord(">"))) + 1
     codes = np.empty(n + max_recs * (kmer_len - 1), dtype=np.uint8)
     seq_len = np.empty(max_recs, dtype=np.int64)
     has_valid = np.empty(max_recs, dtype=np.uint8)
     name_off = np.empty(max_recs, dtype=np.int64)
     name_len = np.empty(max_recs, dtype=np.int64)
     out_len = np.zeros(1, dtype=np.int64)
-    buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
     n_recs = _lib.fasta_decode_joined_mt(
         buf.ctypes.data if n else None, n, kmer_len, codes.ctypes.data,
         seq_len.ctypes.data, has_valid.ctypes.data,
@@ -186,7 +218,9 @@ def fasta_decode_joined_native(data: bytes, kmer_len: int, threads: int = 8):
         return None
     chromosomes = [
         (
-            data[name_off[r] : name_off[r] + name_len[r]].decode(errors="replace"),
+            buf[name_off[r] : name_off[r] + name_len[r]]
+            .tobytes()
+            .decode(errors="replace"),
             int(seq_len[r]),
         )
         for r in range(n_recs)

@@ -150,13 +150,18 @@ def _pairwise_matrix_device(
     import jax.numpy as jnp
 
     n = len(paths)
-    # pad block so compare shapes stay static; zeros are invalid cells
-    block_size = max(32, min(block_size, data_size))
+    # pad block to a multiple of 8 so validity bits pack evenly and compare
+    # shapes stay static; zero-padding = invalid cells
+    block_size = max(32, min(block_size, (data_size + 7) & ~7))
+    block_size = (block_size + 7) & ~7
 
     @jax.jit
-    def step(blocks_u8: jax.Array) -> jax.Array:
-        valid = (blocks_u8 >= min_count) & (blocks_u8 <= max_count)
-        v = valid.astype(jnp.int8)
+    def step(bits: jax.Array) -> jax.Array:
+        # bits: [n, block/8] uint8 — host-packed validity mask (8 cells per
+        # byte, bitorder='big' like np.packbits). Device unpacks and runs one
+        # int8 MXU matmul V @ V.T = the block's full N×N contingency.
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        v = ((bits[:, :, None] >> shifts) & 1).reshape(n, -1).astype(jnp.int8)
         return jnp.dot(v, v.T, preferred_element_type=jnp.int32)
 
     shared = np.zeros((n, n), dtype=np.int64)
@@ -169,17 +174,22 @@ def _pairwise_matrix_device(
                 want = min(block_size, data_size - done)
 
                 def read_one(fh, want=want):
+                    # read + threshold + bit-pack in the reader thread: the
+                    # upload shrinks 8x (1 bit per cell) and packing overlaps
+                    # across the N streams
                     buf = fh.read(want)
                     if len(buf) != want:
                         raise IOError("short read while merging")
-                    return np.frombuffer(buf, dtype=np.uint8)
+                    blk = np.frombuffer(buf, dtype=np.uint8)
+                    valid = (blk >= min_count) & (blk <= max_count)
+                    if want < block_size:
+                        valid = np.concatenate(
+                            [valid, np.zeros(block_size - want, dtype=bool)]
+                        )
+                    return np.packbits(valid)
 
-                blocks = list(pool.map(read_one, streams))
-                stacked = np.stack(blocks)
-                if want < block_size:
-                    pad = np.zeros((n, block_size - want), dtype=np.uint8)
-                    stacked = np.concatenate([stacked, pad], axis=1)
-                shared += np.asarray(step(jnp.asarray(stacked)), dtype=np.int64)
+                bits = np.stack(list(pool.map(read_one, streams)))
+                shared += np.asarray(step(jnp.asarray(bits)), dtype=np.int64)
                 done += want
                 if verbose:
                     print(

@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 #include <zlib.h>
@@ -38,6 +39,33 @@ struct Lut {
   }
 };
 const Lut LUT;
+
+// byte-pair -> code-pair table (128 KiB; the ~25 pairs that occur in real
+// FASTA stay L1-hot) — halves the lookups of the decode hot loop
+struct Lut2 {
+  uint16_t conv2[65536];
+  Lut2() {
+    for (int i = 0; i < 65536; i++)
+      conv2[i] = (uint16_t)LUT.conv[i & 0xff] |
+                 ((uint16_t)LUT.conv[i >> 8] << 8);
+  }
+};
+const Lut2 LUT2;
+
+// decode one stripped sequence-line span [a,b) into dst; returns bytes
+// written (b - a)
+inline long decode_span(const uint8_t* data, long a, long b, uint8_t* dst) {
+  long i = a;
+  for (; i + 1 < b; i += 2) {
+    uint16_t two;
+    memcpy(&two, data + i, 2);
+    uint16_t cc = LUT2.conv2[two];
+    memcpy(dst, &cc, 2);
+    dst += 2;
+  }
+  if (i < b) *dst = LUT.conv[data[i]];
+  return b - a;
+}
 
 }  // namespace
 
@@ -275,6 +303,30 @@ void count256(const uint8_t* data, long n, long* out) {
     for (int i = 0; i < 256; i++) out[i] += p[i];
 }
 
+// Pack a base-code stream (values 0..4) into nibbles, two bases per byte
+// (base 2i in the low nibble of byte i) — halves host->device upload bytes;
+// the device step unpacks with one shift+mask (see ops/encode.py). n may be
+// odd; the final high nibble is padded with 4 (invalid).
+void pack_base_nibbles(const uint8_t* codes, long n, uint8_t* out,
+                       int threads) {
+  long n_bytes = (n + 1) / 2;
+  if (threads < 1) threads = 1;
+  long per = (n_bytes + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_bytes, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      for (long i = lo; i < hi; i++) {
+        uint8_t a = codes[2 * i];
+        uint8_t b = (2 * i + 1 < n) ? codes[2 * i + 1] : 4;
+        out[i] = (uint8_t)(a | (b << 4));
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Expand bit-packed readback planes (see ops/readback.py) to one byte per
 // cell via a 256-entry expansion LUT, threaded over chunks. The numpy
 // fallback's strided stores make 4 cache-hostile passes; this is one
@@ -301,6 +353,30 @@ void unpack_2bit(const uint8_t* packed, long n_bytes, uint8_t* out,
     pool.emplace_back([=] {
       uint32_t* dst = reinterpret_cast<uint32_t*>(out) + lo;
       for (long i = lo; i < hi; i++) dst[i - lo] = lut[packed[i]];
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// unpack_3bit: 3-byte group g (little-endian 24-bit word) -> cells
+// 8g..8g+7, cell i in bits [3i, 3i+3). n_bytes % 3 == 0.
+void unpack_3bit(const uint8_t* packed, long n_bytes, uint8_t* out,
+                 int threads) {
+  long n_groups = n_bytes / 3;
+  if (threads < 1) threads = 1;
+  long per = (n_groups + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_groups, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      for (long g = lo; g < hi; g++) {
+        uint32_t w = (uint32_t)packed[3 * g] |
+                     ((uint32_t)packed[3 * g + 1] << 8) |
+                     ((uint32_t)packed[3 * g + 2] << 16);
+        uint8_t* dst = out + 8 * g;
+        for (int i = 0; i < 8; i++) dst[i] = (uint8_t)((w >> (3 * i)) & 7);
+      }
     });
   }
   for (auto& th : pool) th.join();
@@ -404,19 +480,40 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
                                rec_name_off, rec_name_len, max_recs,
                                codes_len_out);
 
-  std::vector<long> header_start;
+  // phase 1: header-line starts, scanned in parallel byte ranges aligned to
+  // line starts (each range begins at the first line start at/after its
+  // nominal boundary, so every line is scanned exactly once)
+  int scan_threads = std::min<long>(threads, std::max<long>(1, n >> 22));
+  std::vector<std::vector<long>> found((size_t)scan_threads);
   {
-    long pos = 0;
-    while (pos < n) {
-      const uint8_t* nl =
-          (const uint8_t*)memchr(data + pos, '\n', (size_t)(n - pos));
-      long eol = nl ? (long)(nl - data) : n;
-      long a = pos;
-      while (a < eol && is_strip_ws(data[a])) a++;
-      if (a < eol && data[a] == '>') header_start.push_back(pos);
-      pos = eol + 1;
+    std::vector<long> range_lo((size_t)scan_threads + 1, 0);
+    long per_b = (n + scan_threads - 1) / scan_threads;
+    for (int t = 1; t < scan_threads; t++) {
+      long p = std::min(n, (long)t * per_b);
+      const uint8_t* nl = (const uint8_t*)memchr(data + p, '\n', (size_t)(n - p));
+      range_lo[t] = nl ? (long)(nl - data) + 1 : n;
     }
+    range_lo[scan_threads] = n;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < scan_threads; t++) {
+      pool.emplace_back([&, t] {
+        long pos = range_lo[t], hi = range_lo[t + 1];
+        auto& out = found[t];
+        while (pos < hi) {
+          const uint8_t* nl =
+              (const uint8_t*)memchr(data + pos, '\n', (size_t)(n - pos));
+          long eol = nl ? (long)(nl - data) : n;
+          long a = pos;
+          while (a < eol && is_strip_ws(data[a])) a++;
+          if (a < eol && data[a] == '>') out.push_back(pos);
+          pos = eol + 1;
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
   }
+  std::vector<long> header_start;
+  for (auto& f : found) header_start.insert(header_start.end(), f.begin(), f.end());
   long n_recs = (long)header_start.size();
   if (n_recs > max_recs) return -1;
   if (n_recs == 0) {
@@ -426,7 +523,11 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
 
   if (threads > (int)n_recs) threads = (int)n_recs;
   long per = (n_recs + threads - 1) / threads;
-  std::vector<std::vector<uint8_t>> bufs(threads);
+  struct Buf {
+    std::unique_ptr<uint8_t[]> p;
+    long len = 0;
+  };
+  std::vector<Buf> bufs(threads);
   std::vector<std::thread> pool;
   for (int t = 0; t < threads; t++) {
     long r0 = t * per, r1 = std::min(n_recs, r0 + per);
@@ -435,10 +536,24 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
       long byte_lo = header_start[r0];
       long byte_hi = (r1 < n_recs) ? header_start[r1] : n;
       auto& buf = bufs[t];
-      buf.reserve((size_t)(byte_hi - byte_lo) + (size_t)(r1 - r0) * (k - 1));
+      buf.p.reset(
+          new uint8_t[(size_t)(byte_hi - byte_lo) + (size_t)(r1 - r0) * (k - 1)]);
+      uint8_t* dst = buf.p.get();
+      long len = 0;
       long rec = r0 - 1;  // current record index (r0's header comes first)
-      long run = 0;
+      long rec_start = 0;  // offset of current record's codes in dst
       long pos = byte_lo;
+      auto finish_rec = [&] {
+        // valid-run detection as one branch-light pass over the record's
+        // decoded codes (exact semantics: >= k consecutive codes < 4)
+        if (rec < r0) return;
+        long run = 0, best = 0;
+        for (long i = rec_start; i < len; i++) {
+          run = (dst[i] < 4) ? run + 1 : 0;
+          best = run > best ? run : best;
+        }
+        rec_has_valid[rec] = best >= k;
+      };
       while (pos < byte_hi) {
         const uint8_t* nl = (const uint8_t*)memchr(data + pos, '\n',
                                                    (size_t)(byte_hi - pos));
@@ -448,30 +563,25 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
         while (b > a && is_strip_ws(data[b - 1])) b--;
         if (a < b) {
           if (data[a] == '>') {
+            finish_rec();
             rec++;
-            if (rec > r0)  // separator between this thread's own records;
-              buf.insert(buf.end(), (size_t)(k - 1), 4);  // the one before
-                                        // record r0 is added by the stitcher
+            if (rec > r0) {  // separator between this thread's own records;
+              memset(dst + len, 4, (size_t)(k - 1));  // the one before rec r0
+              len += k - 1;                           // is the stitcher's
+            }
             rec_name_off[rec] = a + 1;
             rec_name_len[rec] = b - (a + 1);
             rec_seq_len[rec] = 0;
-            rec_has_valid[rec] = 0;
-            run = 0;
+            rec_start = len;
           } else if (rec >= r0) {
             rec_seq_len[rec] += b - a;
-            for (long i = a; i < b; i++) {
-              uint8_t c = LUT.conv[data[i]];
-              buf.push_back(c);
-              if (c < 4) {
-                if (++run >= k) rec_has_valid[rec] = 1;
-              } else {
-                run = 0;
-              }
-            }
+            len += decode_span(data, a, b, dst + len);
           }
         }
         pos = eol + 1;
       }
+      finish_rec();
+      buf.len = len;
     });
   }
   for (auto& th : pool) th.join();
@@ -481,14 +591,13 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
   int nbufs = (int)pool.size();
   std::vector<long> offset(nbufs + 1, 0);
   for (int t = 0; t < nbufs; t++)
-    offset[t + 1] =
-        offset[t] + (long)bufs[t].size() + (t + 1 < nbufs ? (k - 1) : 0);
+    offset[t + 1] = offset[t] + bufs[t].len + (t + 1 < nbufs ? (k - 1) : 0);
   std::vector<std::thread> pool2;
   for (int t = 0; t < nbufs; t++) {
     pool2.emplace_back([&, t] {
       uint8_t* dst = codes + offset[t];
-      memcpy(dst, bufs[t].data(), bufs[t].size());
-      if (t + 1 < nbufs) memset(dst + bufs[t].size(), 4, (size_t)(k - 1));
+      memcpy(dst, bufs[t].p.get(), (size_t)bufs[t].len);
+      if (t + 1 < nbufs) memset(dst + bufs[t].len, 4, (size_t)(k - 1));
     });
   }
   for (auto& th : pool2) th.join();

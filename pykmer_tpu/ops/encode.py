@@ -102,3 +102,35 @@ def iter_chunks(padded: np.ndarray, kmer_len: int, chunk_windows: int, n_chunks:
     for c in range(n_chunks):
         start = c * chunk_windows
         yield padded[start : start + span]
+
+
+def pack_base_stream(padded: np.ndarray) -> np.ndarray:
+    """Host-side: pack base codes two-per-byte (base 2i in the low nibble)
+    to halve host→device upload bytes; requires even length (chunk_stream
+    output always is: chunk_windows even, K odd). Native threaded pass with
+    a numpy fallback."""
+    assert padded.shape[0] % 2 == 0
+    try:
+        from ..io.native import pack_base_nibbles_native
+
+        return pack_base_nibbles_native(padded)
+    except ImportError:
+        return (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+
+
+def iter_chunks_packed(
+    packed: np.ndarray, kmer_len: int, chunk_windows: int, n_chunks: int
+):
+    """Yield nibble-packed device chunks: chunk c covers bases
+    [c*W, c*W + W + K - 1), which is byte range [c*W/2, ... + (W+K-1)/2)
+    (W even and K odd make every chunk start and span byte-aligned)."""
+    assert chunk_windows % 2 == 0
+    span_bytes = (chunk_windows + kmer_len - 1) // 2
+    for c in range(n_chunks):
+        start = c * chunk_windows // 2
+        yield packed[start : start + span_bytes]
+
+
+def unpack_base_nibbles(packed: "jax.Array") -> "jax.Array":
+    """Device-side inverse of pack_base_stream (fused into the jit step)."""
+    return jnp.stack([packed & 0xF, packed >> 4], axis=-1).reshape(-1)

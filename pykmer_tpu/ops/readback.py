@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 ESCAPE4 = 15
+ESCAPE3 = 7
 ESCAPE2 = 3
 _PACK_LANES = 256
 SLICE_BYTES = 16 << 20
@@ -64,6 +65,21 @@ def pack_2bit(dense: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def pack_3bit(dense: jax.Array) -> jax.Array:
+    """dense → uint8[rows,96]: min(v,7) 3-bit fields; cell group
+    (8g..8g+7) of a row packs into bytes (3g, 3g+1, 3g+2) little-endian
+    (cell 8g+i occupies bits [3i, 3i+3) of the 24-bit group)."""
+    d2 = _as2d(dense)
+    q = jnp.minimum(d2, ESCAPE3)
+    c = [q[:, i::8] for i in range(8)]
+    b0 = c[0] | (c[1] << 3) | ((c[2] & 3) << 6)
+    b1 = (c[2] >> 2) | (c[3] << 1) | (c[4] << 4) | ((c[5] & 1) << 7)
+    b2 = (c[5] >> 1) | (c[6] << 2) | (c[7] << 5)
+    rows = d2.shape[0]
+    return jnp.stack([b0, b1, b2], axis=2).reshape(rows, 96).astype(jnp.uint8)
+
+
+@jax.jit
 def count_escapes(dense: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(cells >= 3, cells >= 15) — one device pass, both pack thresholds."""
     d2 = _as2d(dense)
@@ -73,18 +89,15 @@ def count_escapes(dense: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 @jax.jit
-def pack2_and_count(dense: jax.Array):
-    """One fused device pass: the 2-bit plane plus both escape counts (the
-    2-bit plane is the near-universal winner, so compute it speculatively
-    rather than paying a separate full count pass + dispatch)."""
+def count_all_escapes(dense: jax.Array):
+    """(cells >= 3, >= 7, >= 15) — one cheap device pass ahead of choosing
+    the pack width; the scalars cost one tiny dispatch round-trip."""
     d2 = _as2d(dense)
-    q = jnp.minimum(d2, ESCAPE2)
-    packed = (
-        q[:, 0::4] | (q[:, 1::4] << 2) | (q[:, 2::4] << 4) | (q[:, 3::4] << 6)
-    ).astype(jnp.uint8)
-    ge3 = (d2 >= ESCAPE2).sum(dtype=jnp.int64)
-    ge15 = (d2 >= ESCAPE4).sum(dtype=jnp.int64)
-    return packed, ge3, ge15
+    return (
+        (d2 >= ESCAPE2).sum(dtype=jnp.int64),
+        (d2 >= ESCAPE3).sum(dtype=jnp.int64),
+        (d2 >= ESCAPE4).sum(dtype=jnp.int64),
+    )
 
 
 def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
@@ -105,6 +118,28 @@ def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
         pairs = out.reshape(-1, 2)
         np.right_shift(flat[:, None], np.array([0, 4], np.uint8), out=pairs)
         pairs &= 0x0F
+    return out
+
+
+def unpack_3bit(packed: np.ndarray) -> np.ndarray:
+    """packed 3-bit plane → flat uint8[8 * size / 3] (host side).
+
+    Flat layout: 3-byte group p holds cells 8p..8p+7, cell i in bits
+    [3i, 3i+3) of the little-endian 24-bit group."""
+    flat = np.ascontiguousarray(packed).reshape(-1)
+    assert flat.shape[0] % 3 == 0
+    n_groups = flat.shape[0] // 3
+    out = np.empty(8 * n_groups, dtype=np.uint8)
+    try:
+        from ..io.native import unpack_3bit_native
+
+        unpack_3bit_native(flat, out)
+    except ImportError:
+        g = flat.reshape(-1, 3).astype(np.uint32)
+        word = g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16)
+        cells = out.reshape(-1, 8)
+        for i in range(8):
+            cells[:, i] = (word >> (3 * i)) & 7
     return out
 
 
@@ -185,28 +220,27 @@ def fetch_dense(dense: jax.Array, mode: str = "auto") -> np.ndarray:
         return fetch_array_mt(_as2d(dense)).reshape(-1) if size % _PACK_LANES == 0 \
             else np.asarray(dense).reshape(-1)
     if mode == "auto":
-        packed2, n_ge3_a, n_ge15_a = pack2_and_count(dense)
-        n_ge3, n_ge15 = int(n_ge3_a), int(n_ge15_a)
-        # bytes moved: 2-bit = size/4 + ~9*n_ge3; nibble = size/2 + ~9*n_ge15
-        cost2 = size // 4 + 9 * n_ge3
-        cost4 = size // 2 + 9 * n_ge15
-        if min(cost2, cost4) > size:
+        n_ge3, n_ge7, n_ge15 = (int(v) for v in count_all_escapes(dense))
+        # bytes moved per plane: plane bits/8 per cell + ~9 bytes per escape
+        # (index upload + value download + dispatch overheads)
+        costs = {
+            "2bit": size // 4 + 9 * n_ge3,
+            "3bit": 3 * size // 8 + 9 * n_ge7,
+            "packed": size // 2 + 9 * n_ge15,
+        }
+        mode = min(costs, key=costs.get)
+        if costs[mode] > size:
             mode = "raw2d"
-        elif cost2 <= cost4:
-            out = unpack_2bit(fetch_array_mt(packed2))
-            _patch_escapes(dense, out, ESCAPE2)
-            return out
-        else:
-            mode = "packed"
 
     if mode == "raw2d":
         return fetch_array_mt(_as2d(dense)).reshape(-1)
     if mode == "2bit":
-        packed = fetch_array_mt(pack_2bit(dense))
-        out = unpack_2bit(packed)
+        out = unpack_2bit(fetch_array_mt(pack_2bit(dense)))
         _patch_escapes(dense, out, ESCAPE2)
+    elif mode == "3bit":
+        out = unpack_3bit(fetch_array_mt(pack_3bit(dense)))
+        _patch_escapes(dense, out, ESCAPE3)
     else:
-        packed = fetch_array_mt(pack_nibbles(dense))
-        out = unpack_nibbles(packed)
+        out = unpack_nibbles(fetch_array_mt(pack_nibbles(dense)))
         _patch_escapes(dense, out, ESCAPE4)
     return out

@@ -95,3 +95,25 @@ def test_pack_and_popcount(rng):
         assert int(popcount_mask(ma)) == int(av.sum())
         assert int(popcount_mask(mb)) == int(bv.sum())
         assert int(pair_counts_from_masks(ma, mb)) == int((av & bv).sum())
+
+
+def test_packed_chunk_stream_roundtrip(rng):
+    from pykmer_tpu.ops.encode import (
+        chunk_stream,
+        iter_chunks,
+        iter_chunks_packed,
+        pack_base_stream,
+        unpack_base_nibbles,
+    )
+
+    k = 7
+    seq = rng.integers(0, 5, size=1111).astype(np.uint8)
+    padded, n_chunks = chunk_stream(seq, k, chunk_windows=128)
+    packed = pack_base_stream(padded)
+    # numpy fallback agrees with the (possibly native) default path
+    fallback = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+    assert np.array_equal(packed, fallback)
+    plain = list(iter_chunks(padded, k, 128, n_chunks))
+    for chunk, pchunk in zip(plain, iter_chunks_packed(packed, k, 128, n_chunks)):
+        bases = np.asarray(unpack_base_nibbles(jnp.asarray(pchunk)))
+        assert np.array_equal(bases, chunk)

@@ -86,6 +86,21 @@ def test_fetch_dense_2bit_roundtrip(rng):
     assert np.array_equal(un, np.minimum(host, 3))
 
 
+def test_fetch_dense_3bit_roundtrip(rng):
+    import jax.numpy as jnp
+    from pykmer_tpu.ops.readback import fetch_dense, pack_3bit, unpack_3bit
+
+    host = rng.integers(0, 256, size=4096).astype(np.uint8)
+    host[::3] = 0
+    host[5] = 7
+    host[13] = 6
+    host[17] = 255
+    dense = jnp.asarray(host)
+    assert np.array_equal(fetch_dense(dense, mode="3bit"), host)
+    un = unpack_3bit(np.asarray(pack_3bit(dense)))
+    assert np.array_equal(un, np.minimum(host, 7))
+
+
 def test_unpack_native_matches_numpy(rng, monkeypatch):
     from pykmer_tpu.ops import readback as rb
 
