@@ -50,10 +50,10 @@ class IndexConfig:
             raise ValueError(
                 f"kmer_len must be a positive odd integer, got {self.kmer_len}"
             )
-        if self.chunk_windows % 2:
+        if self.chunk_windows % 8:
             raise ValueError(
-                f"chunk_windows must be even (nibble-packed upload), "
-                f"got {self.chunk_windows}"
+                f"chunk_windows must be a multiple of 8 (bit-packed upload "
+                f"alignment), got {self.chunk_windows}"
             )
 
 

@@ -256,7 +256,7 @@ def _accumulate_device(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import canonical_codes, unpack_base_nibbles
+    from ..ops.encode import canonical_codes, unpack_base_2bit_mask
     from ..ops.histogram import saturating_accumulate
     from ..ops.readback import fetch_dense
 
@@ -264,11 +264,14 @@ def _accumulate_device(
     # the dense array lives 2D [D/128, 128] on device: giant 1D programs
     # (2^30 elements) trigger pathological XLA TPU compile times
     two_d = data_size % 128 == 0
+    span = config.chunk_windows + kmer_len - 1
 
-    def step(dense, nk, packed_chunk):
-        # chunks arrive nibble-packed (halves upload bytes); the unpack
-        # fuses into the encode
-        codes = canonical_codes(unpack_base_nibbles(packed_chunk), kmer_len)
+    def step(dense, nk, bases2, maskbits):
+        # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base of
+        # upload); the unpack fuses into the encode
+        codes = canonical_codes(
+            unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+        )
         if use_pallas:
             from ..ops.pallas_hist import accumulate_sorted_pallas
 
@@ -299,10 +302,12 @@ def _accumulate_device(
         packed = pack_base_stream(padded)
     with stages.stage("step dispatch"):
         done_windows = 0
-        for chunk in iter_chunks_packed(
+        for bases2, maskbits in iter_chunks_packed(
             packed, kmer_len, config.chunk_windows, n_chunks
         ):
-            dense, nk = step_jit(dense, nk, jnp.asarray(chunk))
+            dense, nk = step_jit(
+                dense, nk, jnp.asarray(bases2), jnp.asarray(maskbits)
+            )
             done_windows += config.chunk_windows
             if verbose and n_chunks > 1:
                 print(f"  dispatched windows {done_windows:15,d}")
@@ -334,11 +339,15 @@ def _accumulate_host(
         canonical_codes,
         iter_chunks_packed,
         pack_base_stream,
-        unpack_base_nibbles,
+        unpack_base_2bit_mask,
     )
 
-    def encode_sort(packed_chunk):
-        codes = canonical_codes(unpack_base_nibbles(packed_chunk), kmer_len)
+    span = config.chunk_windows + kmer_len - 1
+
+    def encode_sort(bases2, maskbits):
+        codes = canonical_codes(
+            unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+        )
         return jnp.sort(codes)
 
     encode_jit = jax.jit(encode_sort)
@@ -346,8 +355,12 @@ def _accumulate_host(
     dense = np.zeros(data_size, dtype=np.uint8)
     num_kmers = 0
     packed = pack_base_stream(padded)
-    for chunk in iter_chunks_packed(packed, kmer_len, config.chunk_windows, n_chunks):
-        sorted_codes = np.asarray(encode_jit(jnp.asarray(chunk)))
+    for bases2, maskbits in iter_chunks_packed(
+        packed, kmer_len, config.chunk_windows, n_chunks
+    ):
+        sorted_codes = np.asarray(
+            encode_jit(jnp.asarray(bases2), jnp.asarray(maskbits))
+        )
         valid = sorted_codes[sorted_codes < data_size]
         num_kmers += int(valid.shape[0])
         if valid.shape[0] == 0:

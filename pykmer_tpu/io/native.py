@@ -128,6 +128,22 @@ _lib.pack_base_nibbles.restype = None
 _lib.pack_base_nibbles.argtypes = [
     ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int
 ]
+_lib.pack_base_2bit_mask.restype = None
+_lib.pack_base_2bit_mask.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int,
+]
+
+
+def pack_base_2bit_mask_native(codes: np.ndarray, threads: int = 8):
+    """(2-bit bases, validity bitmap) planes of a base-code stream."""
+    assert codes.dtype == np.uint8 and codes.shape[0] % 8 == 0
+    codes = np.ascontiguousarray(codes.reshape(-1))
+    bases = np.empty(codes.shape[0] // 4, dtype=np.uint8)
+    mask = np.empty(codes.shape[0] // 8, dtype=np.uint8)
+    _lib.pack_base_2bit_mask(codes.ctypes.data, codes.shape[0],
+                             bases.ctypes.data, mask.ctypes.data, threads)
+    return bases, mask
 
 
 def pack_base_nibbles_native(codes: np.ndarray, threads: int = 8) -> np.ndarray:

@@ -327,6 +327,41 @@ void pack_base_nibbles(const uint8_t* codes, long n, uint8_t* out,
   for (auto& th : pool) th.join();
 }
 
+// Pack a base-code stream (0..4) into (2-bit bases, 1-bit validity bitmap):
+// base 4j+i -> bits [2i,2i+2) of bases[j] (invalid codes pack as 0);
+// validity of base 8j+i -> bit i of mask[j]. n % 8 == 0.
+void pack_base_2bit_mask(const uint8_t* codes, long n, uint8_t* bases,
+                         uint8_t* mask, int threads) {
+  long n_groups = n / 8;  // one mask byte / two base bytes per group
+  if (threads < 1) threads = 1;
+  long per = (n_groups + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_groups, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      for (long g = lo; g < hi; g++) {
+        const uint8_t* c = codes + 8 * g;
+        uint8_t m = 0, b0 = 0, b1 = 0;
+        for (int i = 0; i < 4; i++) {
+          uint8_t v = c[i];
+          m |= (uint8_t)((v < 4) << i);
+          b0 |= (uint8_t)((v & 3) << (2 * i));
+        }
+        for (int i = 0; i < 4; i++) {
+          uint8_t v = c[4 + i];
+          m |= (uint8_t)((v < 4) << (4 + i));
+          b1 |= (uint8_t)((v & 3) << (2 * i));
+        }
+        bases[2 * g] = b0;
+        bases[2 * g + 1] = b1;
+        mask[g] = m;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Expand bit-packed readback planes (see ops/readback.py) to one byte per
 // cell via a 256-entry expansion LUT, threaded over chunks. The numpy
 // fallback's strided stores make 4 cache-hostile passes; this is one

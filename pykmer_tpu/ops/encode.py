@@ -104,33 +104,59 @@ def iter_chunks(padded: np.ndarray, kmer_len: int, chunk_windows: int, n_chunks:
         yield padded[start : start + span]
 
 
-def pack_base_stream(padded: np.ndarray) -> np.ndarray:
-    """Host-side: pack base codes two-per-byte (base 2i in the low nibble)
-    to halve host→device upload bytes; requires even length (chunk_stream
-    output always is: chunk_windows even, K odd). Native threaded pass with
-    a numpy fallback."""
-    assert padded.shape[0] % 2 == 0
+def pack_base_stream(padded: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side: pack base codes to (2-bit bases, 1-bit validity bitmap) —
+    0.375 bytes/base of host→device upload (vs 1). Invalid codes (>= 4) pack
+    as base 0 with validity bit 0; the device restores them to 4. Base
+    ``4j+i`` is bits [2i, 2i+2) of ``bases[j]``; validity of base ``8j+i``
+    is bit i of ``mask[j]``. Native threaded pass with a numpy fallback.
+    Tail-pads to a multiple of 8 with invalid bases (unused by any chunk)."""
+    n = padded.shape[0]
+    if n % 8:
+        padded = np.concatenate([padded, np.full(8 - n % 8, 4, np.uint8)])
     try:
-        from ..io.native import pack_base_nibbles_native
+        from ..io.native import pack_base_2bit_mask_native
 
-        return pack_base_nibbles_native(padded)
+        return pack_base_2bit_mask_native(padded)
     except ImportError:
-        return (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+        valid = padded < 4
+        b = np.where(valid, padded, 0).reshape(-1, 4)
+        bases = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) | (b[:, 3] << 6)).astype(
+            np.uint8
+        )
+        mask = np.packbits(valid.reshape(-1, 8), axis=1, bitorder="little")
+        return bases, mask.reshape(-1)
 
 
 def iter_chunks_packed(
-    packed: np.ndarray, kmer_len: int, chunk_windows: int, n_chunks: int
+    packed: Tuple[np.ndarray, np.ndarray],
+    kmer_len: int,
+    chunk_windows: int,
+    n_chunks: int,
 ):
-    """Yield nibble-packed device chunks: chunk c covers bases
-    [c*W, c*W + W + K - 1), which is byte range [c*W/2, ... + (W+K-1)/2)
-    (W even and K odd make every chunk start and span byte-aligned)."""
-    assert chunk_windows % 2 == 0
-    span_bytes = (chunk_windows + kmer_len - 1) // 2
+    """Yield (bases2, maskbits) device chunks: chunk c covers bases
+    [c*W, c*W + W + K - 1); W % 8 == 0 keeps every chunk start aligned in
+    both planes, and the final partial bytes exist because chunk_stream pads
+    to exactly W*n_chunks + K - 1 bases."""
+    assert chunk_windows % 8 == 0
+    bases, mask = packed
+    span = chunk_windows + kmer_len - 1
+    b_span = (span + 3) // 4
+    m_span = (span + 7) // 8
     for c in range(n_chunks):
-        start = c * chunk_windows // 2
-        yield packed[start : start + span_bytes]
+        start = c * chunk_windows
+        b0 = start // 4
+        m0 = start // 8
+        yield bases[b0 : b0 + b_span], mask[m0 : m0 + m_span]
 
 
-def unpack_base_nibbles(packed: "jax.Array") -> "jax.Array":
-    """Device-side inverse of pack_base_stream (fused into the jit step)."""
-    return jnp.stack([packed & 0xF, packed >> 4], axis=-1).reshape(-1)
+def unpack_base_2bit_mask(
+    bases: "jax.Array", mask: "jax.Array", span: int
+) -> "jax.Array":
+    """Device-side inverse of pack_base_stream (fused into the jit step):
+    [span] uint8 base codes with invalid positions restored to 4."""
+    shifts2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    b = ((bases[:, None] >> shifts2) & 3).reshape(-1)[:span]
+    shifts1 = jnp.arange(8, dtype=jnp.uint8)
+    v = ((mask[:, None] >> shifts1) & 1).reshape(-1)[:span]
+    return jnp.where(v == 1, b, jnp.uint8(4))

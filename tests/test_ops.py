@@ -103,7 +103,7 @@ def test_packed_chunk_stream_roundtrip(rng):
         iter_chunks,
         iter_chunks_packed,
         pack_base_stream,
-        unpack_base_nibbles,
+        unpack_base_2bit_mask,
     )
 
     k = 7
@@ -111,9 +111,22 @@ def test_packed_chunk_stream_roundtrip(rng):
     padded, n_chunks = chunk_stream(seq, k, chunk_windows=128)
     packed = pack_base_stream(padded)
     # numpy fallback agrees with the (possibly native) default path
-    fallback = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
-    assert np.array_equal(packed, fallback)
+    pad8 = padded
+    if pad8.shape[0] % 8:
+        pad8 = np.concatenate([pad8, np.full(8 - pad8.shape[0] % 8, 4, np.uint8)])
+    valid = pad8 < 4
+    b = np.where(valid, pad8, 0).reshape(-1, 4)
+    fb_bases = (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) | (b[:, 3] << 6)).astype(
+        np.uint8
+    )
+    fb_mask = np.packbits(valid.reshape(-1, 8), axis=1, bitorder="little").reshape(-1)
+    assert np.array_equal(packed[0], fb_bases)
+    assert np.array_equal(packed[1], fb_mask)
+    span = 128 + k - 1
     plain = list(iter_chunks(padded, k, 128, n_chunks))
-    for chunk, pchunk in zip(plain, iter_chunks_packed(packed, k, 128, n_chunks)):
-        bases = np.asarray(unpack_base_nibbles(jnp.asarray(pchunk)))
+    for chunk, (b2, m) in zip(plain, iter_chunks_packed(packed, k, 128, n_chunks)):
+        bases = np.asarray(
+            unpack_base_2bit_mask(jnp.asarray(b2), jnp.asarray(m), span)
+        )
+        # invalid codes normalise to exactly 4 on device; plain chunks carry 4s
         assert np.array_equal(bases, chunk)
