@@ -296,14 +296,12 @@ def _accumulate_device(
         shape = (data_size // 128, 128) if two_d else (data_size,)
         dense = jnp.zeros(shape, dtype=jnp.uint8)
         nk = jnp.zeros((), dtype=jnp.int64)
-    with stages.stage("host pack"):
-        from ..ops.encode import iter_chunks_packed, pack_base_stream
+    from ..ops.encode import iter_chunks_packed_lazy
 
-        packed = pack_base_stream(padded)
     with stages.stage("step dispatch"):
         done_windows = 0
-        for bases2, maskbits in iter_chunks_packed(
-            packed, kmer_len, config.chunk_windows, n_chunks
+        for bases2, maskbits in iter_chunks_packed_lazy(
+            padded, kmer_len, config.chunk_windows, n_chunks
         ):
             dense, nk = step_jit(
                 dense, nk, jnp.asarray(bases2), jnp.asarray(maskbits)

@@ -150,6 +150,23 @@ def iter_chunks_packed(
         yield bases[b0 : b0 + b_span], mask[m0 : m0 + m_span]
 
 
+def iter_chunks_packed_lazy(
+    padded: np.ndarray, kmer_len: int, chunk_windows: int, n_chunks: int
+):
+    """Yield (bases2, maskbits) chunks packed on the fly — same shapes as
+    :func:`iter_chunks_packed` but each ~1.5 MB chunk is packed just before
+    its (async) upload, so the pack cost hides behind device compute instead
+    of being an up-front pass over the whole stream."""
+    span = chunk_windows + kmer_len - 1
+    b_span = (span + 3) // 4
+    m_span = (span + 7) // 8
+    for c in range(n_chunks):
+        start = c * chunk_windows
+        piece = padded[start : start + span]
+        bases, mask = pack_base_stream(piece)
+        yield bases[:b_span], mask[:m_span]
+
+
 def unpack_base_2bit_mask(
     bases: "jax.Array", mask: "jax.Array", span: int
 ) -> "jax.Array":
