@@ -335,8 +335,7 @@ def _accumulate_host(
 
     from ..ops.encode import (
         canonical_codes,
-        iter_chunks_packed,
-        pack_base_stream,
+        iter_chunks_packed_lazy,
         unpack_base_2bit_mask,
     )
 
@@ -352,9 +351,8 @@ def _accumulate_host(
 
     dense = np.zeros(data_size, dtype=np.uint8)
     num_kmers = 0
-    packed = pack_base_stream(padded)
-    for bases2, maskbits in iter_chunks_packed(
-        packed, kmer_len, config.chunk_windows, n_chunks
+    for bases2, maskbits in iter_chunks_packed_lazy(
+        padded, kmer_len, config.chunk_windows, n_chunks
     ):
         sorted_codes = np.asarray(
             encode_jit(jnp.asarray(bases2), jnp.asarray(maskbits))

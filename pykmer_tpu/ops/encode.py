@@ -117,7 +117,10 @@ def pack_base_stream(padded: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     try:
         from ..io.native import pack_base_2bit_mask_native
 
-        return pack_base_2bit_mask_native(padded)
+        # thread spawn/join costs more than the work below ~8 MB (the lazy
+        # per-chunk path packs ~1.5 MB pieces inside the dispatch loop)
+        threads = 8 if padded.shape[0] >= (8 << 20) else 1
+        return pack_base_2bit_mask_native(padded, threads=threads)
     except ImportError:
         valid = padded < 4
         b = np.where(valid, padded, 0).reshape(-1, 4)
@@ -160,9 +163,7 @@ def iter_chunks_packed_lazy(
     span = chunk_windows + kmer_len - 1
     b_span = (span + 3) // 4
     m_span = (span + 7) // 8
-    for c in range(n_chunks):
-        start = c * chunk_windows
-        piece = padded[start : start + span]
+    for piece in iter_chunks(padded, kmer_len, chunk_windows, n_chunks):
         bases, mask = pack_base_stream(piece)
         yield bases[:b_span], mask[:m_span]
 

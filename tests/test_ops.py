@@ -130,3 +130,30 @@ def test_packed_chunk_stream_roundtrip(rng):
         )
         # invalid codes normalise to exactly 4 on device; plain chunks carry 4s
         assert np.array_equal(bases, chunk)
+
+
+def test_lazy_packed_chunks_match_eager(rng):
+    from pykmer_tpu.ops.encode import (
+        chunk_stream,
+        iter_chunks_packed,
+        iter_chunks_packed_lazy,
+        pack_base_stream,
+    )
+
+    from pykmer_tpu.ops.encode import unpack_base_2bit_mask
+
+    for k, cw, n in [(7, 128, 1111), (15, 64, 64 * 3 + 14), (5, 8, 9)]:
+        span = cw + k - 1
+        seq = rng.integers(0, 5, size=n).astype(np.uint8)
+        padded, n_chunks = chunk_stream(seq, k, chunk_windows=cw)
+        eager = list(iter_chunks_packed(pack_base_stream(padded), k, cw, n_chunks))
+        lazy = list(iter_chunks_packed_lazy(padded, k, cw, n_chunks))
+        assert len(eager) == len(lazy) == n_chunks
+        for (eb, em), (lb, lm) in zip(eager, lazy):
+            assert eb.shape == lb.shape and em.shape == lm.shape
+            # raw bytes may differ in bits beyond `span` (eager sees the next
+            # chunk's bases, lazy sees padding) — the decoded span is the
+            # contract
+            de = unpack_base_2bit_mask(jnp.asarray(eb), jnp.asarray(em), span)
+            dl = unpack_base_2bit_mask(jnp.asarray(lb), jnp.asarray(lm), span)
+            assert np.array_equal(np.asarray(de), np.asarray(dl))
