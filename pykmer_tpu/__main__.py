@@ -1,4 +1,8 @@
-from .cli import main
 import sys
 
-sys.exit(main())
+from .cli import main
+
+try:
+    sys.exit(main())
+except BrokenPipeError:  # e.g. `pykmer-tpu gzi x.gzi | head`
+    sys.exit(0)

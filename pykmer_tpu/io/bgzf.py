@@ -63,6 +63,33 @@ def compress_file(
         dst_path = src_path + ".bgz"
     offsets: List[Tuple[int, int]] = []  # (compressed, uncompressed) per block
     cofs = uofs = 0
+    # fast path: whole-file parallel compression in C++ (mmap'd input)
+    if block_size <= BGZF_BLOCK_SIZE and os.path.getsize(src_path) > 0:
+        try:
+            from .native import bgzf_compress_buffer_native
+            import numpy as np
+
+            src_map = np.memmap(src_path, dtype=np.uint8, mode="r")
+            result = bgzf_compress_buffer_native(
+                src_map, level=level, block_size=block_size
+            )
+        except ImportError:
+            result = None
+        if result is not None:
+            compressed, csizes = result
+            with open(dst_path, "wb") as dst:
+                compressed.tofile(dst)
+                dst.write(BGZF_EOF)
+            n = int(src_map.shape[0])
+            for i in range(csizes.shape[0]):
+                offsets.append((cofs, uofs))
+                cofs += int(csizes[i])
+                uofs += min(block_size, n - uofs)
+            gzi_path = None
+            if write_index:
+                gzi_path = dst_path + ".gzi"
+                write_gzi(gzi_path, offsets)
+            return dst_path, gzi_path
     try:
         from .native import bgzf_compress_native
 

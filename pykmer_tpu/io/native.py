@@ -101,6 +101,38 @@ def bgzf_compress_native(payload: bytes, level: int) -> bytes:
     return out[:size].tobytes()
 
 
+_lib.bgzf_compress_buffer.restype = ctypes.c_long
+_lib.bgzf_compress_buffer.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+]
+
+
+def bgzf_compress_buffer_native(
+    data, level: int = 6, block_size: int = 65280, threads: int = 8
+):
+    """Parallel whole-buffer BGZF: returns (compressed ndarray without EOF
+    marker, per-block compressed sizes ndarray), or None on failure."""
+    buf = (
+        np.ascontiguousarray(data).view(np.uint8)
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, dtype=np.uint8)
+    )
+    n = buf.shape[0]
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    n_blocks = (n + block_size - 1) // block_size
+    out = np.empty(n_blocks * 65536, dtype=np.uint8)
+    csizes = np.empty(n_blocks, dtype=np.int64)
+    total = _lib.bgzf_compress_buffer(
+        buf.ctypes.data, n, block_size, level, threads,
+        out.ctypes.data, out.shape[0], csizes.ctypes.data,
+    )
+    if total < 0:
+        return None
+    return out[:total], csizes
+
+
 def gzip_decompress_native(path: str, threads: int = 2) -> Optional[bytes]:
     """Decompress a gzip/BGZF file (block-parallel for BGZF)."""
     with open(path, "rb") as fh:

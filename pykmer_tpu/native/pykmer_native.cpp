@@ -327,6 +327,51 @@ void pack_base_nibbles(const uint8_t* codes, long n, uint8_t* out,
   for (auto& th : pool) th.join();
 }
 
+// Compress a whole buffer to BGZF in parallel: blocks of `block_size`
+// (<= 65280) compressed by `threads` workers into a scratch grid, then
+// compacted into `out` (EOF marker NOT appended — caller's job). Per-block
+// compressed sizes land in block_csize[n_blocks]. Returns total output
+// bytes, or -1 on error / insufficient out_cap.
+long bgzf_compress_buffer(const uint8_t* data, long n, int block_size,
+                          int level, int threads, uint8_t* out, long out_cap,
+                          long* block_csize) {
+  if (block_size <= 0 || block_size > 65280 || n < 0) return -1;
+  long n_blocks = (n + block_size - 1) / block_size;
+  if (n_blocks == 0) return 0;
+  std::unique_ptr<uint8_t[]> scratch(new uint8_t[(size_t)n_blocks * 65536]);
+  std::vector<int> sizes((size_t)n_blocks, -1);
+  if (threads < 1) threads = 1;
+  long per = (n_blocks + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_blocks, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([&, lo, hi] {
+      for (long b = lo; b < hi; b++) {
+        long off = b * (long)block_size;
+        int len = (int)std::min<long>(block_size, n - off);
+        sizes[b] = bgzf_compress_block(data + off, len,
+                                       scratch.get() + b * 65536, 65536,
+                                       level);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  long total = 0;
+  for (long b = 0; b < n_blocks; b++) {
+    if (sizes[b] < 0) return -1;
+    total += sizes[b];
+  }
+  if (total > out_cap) return -1;
+  long ofs = 0;
+  for (long b = 0; b < n_blocks; b++) {
+    memcpy(out + ofs, scratch.get() + b * 65536, (size_t)sizes[b]);
+    block_csize[b] = sizes[b];
+    ofs += sizes[b];
+  }
+  return total;
+}
+
 // Pack a base-code stream (0..4) into (2-bit bases, 1-bit validity bitmap):
 // base 4j+i -> bits [2i,2i+2) of bases[j] (invalid codes pack as 0);
 // validity of base 8j+i -> bit i of mask[j]. n % 8 == 0.
