@@ -29,7 +29,7 @@ from ..parallel.histogram import (
     interleaved_to_flat,
     flat_to_interleaved,
     make_sharded_accumulate,
-    shard_batch_chunks,
+    shard_batch_chunks_packed,
 )
 from ..parallel.mesh import make_mesh
 from ..parallel import multihost
@@ -121,7 +121,7 @@ def create_fasta_index_sharded(
     # fully-async dispatch; num_kmers / max_bucket stay on-device and are
     # fetched only at checkpoints and at the end
     for s in range(start_step, n_steps):
-        chunks = shard_batch_chunks(padded, kmer_len, config.chunk_windows, rows, s)
+        chunks = shard_batch_chunks_packed(padded, kmer_len, config.chunk_windows, rows, s)
         state = step_fn(state, chunks)
         if verbose and n_steps > 1:
             print(f"  dispatched step {s + 1}/{n_steps}")

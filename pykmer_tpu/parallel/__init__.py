@@ -3,7 +3,7 @@ from .histogram import (
     make_sharded_accumulate,
     interleaved_to_flat,
     flat_to_interleaved,
-    shard_batch_chunks,
+    shard_batch_chunks_packed,
 )
 from .encode import make_halo_encode
 from .compare import make_sharded_pair_matrix

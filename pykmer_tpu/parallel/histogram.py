@@ -76,6 +76,35 @@ def shard_batch_chunks(
     return out
 
 
+def shard_batch_chunks_packed(
+    padded: np.ndarray, kmer_len: int, chunk_windows: int, n_rows: int, step: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Packed variant of :func:`shard_batch_chunks`: rows of (2-bit bases,
+    validity bitmap) planes — 0.375 B/base host→device, decoded inside the
+    sharded step (same scheme as the single-chip path, ops/encode)."""
+    from ..ops.encode import pack_base_stream
+
+    span = chunk_windows + kmer_len - 1
+    b_span = (span + 3) // 4
+    m_span = (span + 7) // 8
+    bases = np.zeros((n_rows, b_span), dtype=np.uint8)
+    mask = np.zeros((n_rows, m_span), dtype=np.uint8)  # 0 = all-invalid row
+    n_windows = max(padded.shape[0] - kmer_len + 1, 0)
+    for r in range(n_rows):
+        start = (step * n_rows + r) * chunk_windows
+        if start >= n_windows:
+            continue
+        piece = padded[start : start + span]
+        if piece.shape[0] < span:
+            piece = np.concatenate(
+                [piece, np.full(span - piece.shape[0], 4, np.uint8)]
+            )
+        pb, pm = pack_base_stream(piece)
+        bases[r] = pb[:b_span]
+        mask[r] = pm[:m_span]
+    return bases, mask
+
+
 def make_sharded_accumulate(
     mesh: Mesh,
     kmer_len: int,
@@ -106,9 +135,13 @@ def make_sharded_accumulate(
     # keep the code dtype until after the owner split to stay exact
     local_dt = jnp.int32 if local_size <= 2**31 - 1 else jnp.int64
 
-    def per_chip(dense_local, nk_in, maxb_in, chunk_rows):
-        # dense_local: [1, local_size]; chunk_rows: [1, span]
-        codes = canonical_codes(chunk_rows[0], kmer_len)
+    from ..ops.encode import unpack_base_2bit_mask
+
+    def per_chip(dense_local, nk_in, maxb_in, bases_row, mask_row):
+        # dense_local: [1, local_size]; bases_row/mask_row: the chip's
+        # bit-packed chunk (see shard_batch_chunks_packed), decoded on-chip
+        chunk = unpack_base_2bit_mask(bases_row[0], mask_row[0], span)
+        codes = canonical_codes(chunk, kmer_len)
         valid = codes < data_size
         num_valid = valid.sum(dtype=jnp.int64)
 
@@ -156,6 +189,7 @@ def make_sharded_accumulate(
         per_chip,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(), P(),
+                  P((DATA_AXIS, SHARD_AXIS), None),
                   P((DATA_AXIS, SHARD_AXIS), None)),
         out_specs=(P(SHARD_AXIS, None), P(), P()),
         check_vma=False,
@@ -175,10 +209,12 @@ def make_sharded_accumulate(
             jnp.zeros((), dtype=jnp.int32),
         )
 
-    def step_fn(state, chunk_rows):
+    def step_fn(state, packed_rows):
         dense, nk, maxb = state
-        chunk_rows = jax.device_put(chunk_rows, chunk_sharding)
-        return step_jit(dense, nk, maxb, chunk_rows)
+        bases, mask = packed_rows
+        bases = jax.device_put(bases, chunk_sharding)
+        mask = jax.device_put(mask, chunk_sharding)
+        return step_jit(dense, nk, maxb, bases, mask)
 
     step_fn.capacity = capacity
     step_fn.rows = n_data * n_shards

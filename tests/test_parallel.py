@@ -13,7 +13,7 @@ from pykmer_tpu.parallel import (
     make_mesh,
     make_sharded_accumulate,
     make_sharded_pair_matrix,
-    shard_batch_chunks,
+    shard_batch_chunks_packed,
 )
 
 
@@ -43,7 +43,7 @@ def test_sharded_accumulate_matches_oracle(rng, n_data, n_shards):
 
     state = init_fn()
     for s in range(n_steps):
-        chunks = shard_batch_chunks(padded, kmer_len, chunk_windows, rows, s)
+        chunks = shard_batch_chunks_packed(padded, kmer_len, chunk_windows, rows, s)
         state = step_fn(state, chunks)
     dense, nk, maxb = state
     assert int(maxb) <= step_fn.capacity, "bucket overflow"
@@ -63,7 +63,7 @@ def test_sharded_accumulate_saturation(rng):
     )
     padded, n_chunks = chunk_stream(seq, kmer_len, 600)
     state = init_fn()
-    chunks = shard_batch_chunks(padded, kmer_len, 600, step_fn.rows, 0)
+    chunks = shard_batch_chunks_packed(padded, kmer_len, 600, step_fn.rows, 0)
     dense, nk, maxb = step_fn(state, chunks)
     assert int(maxb) <= step_fn.capacity
     flat = interleaved_to_flat(np.asarray(dense))
@@ -81,7 +81,7 @@ def test_sharded_overflow_detected(rng):
     )
     padded, _ = chunk_stream(seq, kmer_len, 4096)
     state = init_fn()
-    chunks = shard_batch_chunks(padded, kmer_len, 4096, step_fn.rows, 0)
+    chunks = shard_batch_chunks_packed(padded, kmer_len, 4096, step_fn.rows, 0)
     _, _, maxb = step_fn(state, chunks)
     assert int(maxb) > step_fn.capacity  # surfaced, caller must abort
 
