@@ -151,9 +151,11 @@ def create_fasta_index(
         # dense uint8 + sort workspace must fit HBM comfortably
         strategy = "device" if data_size <= (4 << 30) else "host"
 
+    from ..utils.keepalive import d2h_keepalive
+
     if stream.shape[0] >= kmer_len:
         padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
-        with stages.stage("device accumulate + fetch"):
+        with stages.stage("device accumulate + fetch"), d2h_keepalive():
             if strategy == "device":
                 dense_np, num_kmers = _accumulate_device(
                     padded, n_chunks, kmer_len, config, data_size, timer,
@@ -226,7 +228,7 @@ def create_fasta_index(
     return header
 
 
-def _use_pallas_kernel(config: IndexConfig, data_size: int, kmer_len: int) -> bool:
+def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bool:
     import jax
 
     if config.kernel == "pallas":
@@ -234,12 +236,12 @@ def _use_pallas_kernel(config: IndexConfig, data_size: int, kmer_len: int) -> bo
     if config.kernel == "xla":
         return False
     # auto: the Pallas tile sweep needs TPU, an int32 code space, and a
-    # count space that tiles as (1024, 128); XLA scatter is serial on TPU
-    # but fine on CPU/GPU backends
+    # (folded) count space that tiles as (rows, 128); XLA scatter is serial
+    # on TPU but fine on CPU/GPU backends
     return (
         jax.default_backend() == "tpu"
         and kmer_len <= 15
-        and data_size % (128 * 128) == 0  # K >= 7
+        and fold_size % (128 * 128) == 0  # K >= 9
     )
 
 
@@ -256,31 +258,38 @@ def _accumulate_device(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import canonical_codes, unpack_base_2bit_mask
+    from ..ops.encode import canonical_codes, fold_codes, unpack_base_2bit_mask
     from ..ops.histogram import saturating_accumulate
-    from ..ops.readback import fetch_dense
+    from ..ops.readback import fetch_dense, unfold_canonical
 
-    use_pallas = _use_pallas_kernel(config, data_size, kmer_len)
+    # counts accumulate in the folded half-space min(c, M-c) — half the HBM,
+    # half the per-batch sweep traffic, half the readback bytes; the host
+    # expands losslessly at the end (see ops.encode.fold_codes)
+    fold_size = data_size // 2
+    use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
     # the dense array lives 2D [D/128, 128] on device: giant 1D programs
     # (2^30 elements) trigger pathological XLA TPU compile times
-    two_d = data_size % 128 == 0
+    two_d = fold_size % 128 == 0
     span = config.chunk_windows + kmer_len - 1
 
     def step(dense, nk, bases2, maskbits):
         # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base of
         # upload); the unpack fuses into the encode
-        codes = canonical_codes(
-            unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+        codes = fold_codes(
+            canonical_codes(
+                unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+            ),
+            kmer_len,
         )
         if use_pallas:
             from ..ops.pallas_hist import accumulate_sorted_pallas
 
             sorted_codes = jnp.sort(codes.astype(jnp.int32))
-            nvalid = (codes < data_size).sum(dtype=jnp.int64)
+            nvalid = (codes < fold_size).sum(dtype=jnp.int64)
             dense = accumulate_sorted_pallas(dense, sorted_codes)
         else:
             flat = dense.reshape(-1)
-            flat, nvalid = saturating_accumulate(flat, codes, sentinel=data_size)
+            flat, nvalid = saturating_accumulate(flat, codes, sentinel=fold_size)
             dense = flat.reshape(dense.shape)
         return dense, nk + nvalid
 
@@ -293,7 +302,7 @@ def _accumulate_device(
 
     stages = stages or StageTimer()
     with stages.stage("dense init"):
-        shape = (data_size // 128, 128) if two_d else (data_size,)
+        shape = (fold_size // 128, 128) if two_d else (fold_size,)
         dense = jnp.zeros(shape, dtype=jnp.uint8)
         nk = jnp.zeros((), dtype=jnp.int64)
     from ..ops.encode import iter_chunks_packed_lazy
@@ -312,7 +321,9 @@ def _accumulate_device(
     with stages.stage("num_kmers sync"):
         num_kmers = int(nk)
     with stages.stage("dense fetch"):
-        result = fetch_dense(dense, mode=config.readback)
+        folded = fetch_dense(dense, mode=config.readback)
+    with stages.stage("unfold"):
+        result = unfold_canonical(folded, kmer_len)
     return result, num_kmers
 
 
@@ -328,28 +339,36 @@ def _accumulate_host(
     """Host-RAM dense array; device computes + sorts codes per chunk.
 
     For count spaces exceeding single-chip HBM (K=17: 17 GiB). The device
-    returns sorted codes; the host applies a saturating segment update.
+    returns sorted *folded* codes (min(c, M-c) — halves the host array to
+    8.5 GiB at K=17); the host applies a saturating segment update and
+    expands at the end.
     """
     import jax
     import jax.numpy as jnp
 
     from ..ops.encode import (
         canonical_codes,
+        fold_codes,
         iter_chunks_packed_lazy,
         unpack_base_2bit_mask,
     )
+    from ..ops.readback import unfold_canonical
 
     span = config.chunk_windows + kmer_len - 1
+    fold_size = data_size // 2
 
     def encode_sort(bases2, maskbits):
-        codes = canonical_codes(
-            unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+        codes = fold_codes(
+            canonical_codes(
+                unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+            ),
+            kmer_len,
         )
         return jnp.sort(codes)
 
     encode_jit = jax.jit(encode_sort)
 
-    dense = np.zeros(data_size, dtype=np.uint8)
+    dense = np.zeros(fold_size, dtype=np.uint8)
     num_kmers = 0
     for bases2, maskbits in iter_chunks_packed_lazy(
         padded, kmer_len, config.chunk_windows, n_chunks
@@ -357,14 +376,14 @@ def _accumulate_host(
         sorted_codes = np.asarray(
             encode_jit(jnp.asarray(bases2), jnp.asarray(maskbits))
         )
-        valid = sorted_codes[sorted_codes < data_size]
+        valid = sorted_codes[sorted_codes < fold_size]
         num_kmers += int(valid.shape[0])
         if valid.shape[0] == 0:
             continue
         uniq, counts = _unique_sorted(valid)
         old = dense[uniq].astype(np.int64)
         dense[uniq] = np.minimum(old + np.minimum(counts, 255), 255).astype(np.uint8)
-    return dense, num_kmers
+    return unfold_canonical(dense, kmer_len), num_kmers
 
 
 def _unique_sorted(sorted_vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -118,39 +118,46 @@ def create_fasta_index_sharded(
     if state is None:
         state = init_fn()
 
-    # fully-async dispatch; num_kmers / max_bucket stay on-device and are
-    # fetched only at checkpoints and at the end
-    for s in range(start_step, n_steps):
-        chunks = shard_batch_chunks_packed(padded, kmer_len, config.chunk_windows, rows, s)
-        state = step_fn(state, chunks)
-        if verbose and n_steps > 1:
-            print(f"  dispatched step {s + 1}/{n_steps}")
-        if checkpoint_every and (s + 1) % checkpoint_every == 0 and s + 1 < n_steps:
-            multihost.save_shard_checkpoint(
-                tmp, np.asarray(state[0]), next_step=s + 1,
-                num_kmers=int(state[1]),
-                meta={
-                    "kmer_len": kmer_len,
-                    "chunk_windows": config.chunk_windows,
-                    "rows": rows,
-                    "input_size": os.path.getsize(input_file),
-                },
+    from ..ops.readback import unfold_canonical
+    from ..utils.keepalive import d2h_keepalive
+
+    with d2h_keepalive():
+        # fully-async dispatch; num_kmers / max_bucket stay on-device and
+        # are fetched only at checkpoints and at the end
+        for s in range(start_step, n_steps):
+            chunks = shard_batch_chunks_packed(
+                padded, kmer_len, config.chunk_windows, rows, s
             )
+            state = step_fn(state, chunks)
+            if verbose and n_steps > 1:
+                print(f"  dispatched step {s + 1}/{n_steps}")
+            if checkpoint_every and (s + 1) % checkpoint_every == 0 and s + 1 < n_steps:
+                multihost.save_shard_checkpoint(
+                    tmp, np.asarray(state[0]), next_step=s + 1,
+                    num_kmers=int(state[1]),
+                    meta={
+                        "kmer_len": kmer_len,
+                        "chunk_windows": config.chunk_windows,
+                        "rows": rows,
+                        "input_size": os.path.getsize(input_file),
+                    },
+                )
 
-    dense, nk_dev, maxb_dev = state
-    num_kmers = int(nk_dev)
-    if int(maxb_dev) > step_fn.capacity:
-        raise RuntimeError(
-            f"shard bucket overflow ({int(maxb_dev)} > {step_fn.capacity}): "
-            f"re-run with a larger capacity_factor (got {capacity_factor}) "
-            f"or smaller chunk_windows"
-        )
-    if num_kmers == 0:
-        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
-    if total_bp >= PRINT_EVERY:
-        timer.update(total_bp)
+        dense, nk_dev, maxb_dev = state
+        num_kmers = int(nk_dev)
+        if int(maxb_dev) > step_fn.capacity:
+            raise RuntimeError(
+                f"shard bucket overflow ({int(maxb_dev)} > {step_fn.capacity}): "
+                f"re-run with a larger capacity_factor (got {capacity_factor}) "
+                f"or smaller chunk_windows"
+            )
+        if num_kmers == 0:
+            raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+        if total_bp >= PRINT_EVERY:
+            timer.update(total_bp)
 
-    dense_np = interleaved_to_flat(np.asarray(dense))
+        folded_np = interleaved_to_flat(np.asarray(dense))
+    dense_np = unfold_canonical(folded_np, kmer_len)
     kinfmt.write_kin_array(tmp, dense_np)
     header.num_kmers = int(num_kmers)
     header.chromosomes = chromosomes

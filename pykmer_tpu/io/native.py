@@ -33,10 +33,12 @@ def _build() -> None:
     )
 
 
-if not os.path.exists(_LIB_PATH):
-    try:
-        _build()
-    except Exception as exc:  # pragma: no cover - toolchain missing
+# always invoke make: a no-op (~30 ms) when the .so is fresh, a rebuild when
+# the source is newer (a stale .so would miss newly added symbols)
+try:
+    _build()
+except Exception as exc:  # pragma: no cover - toolchain missing
+    if not os.path.exists(_LIB_PATH):
         raise ImportError(f"cannot build native library: {exc}") from exc
 
 try:
@@ -213,6 +215,24 @@ def unpack_4bit_native(packed: np.ndarray, out: np.ndarray, threads: int = 8) ->
     assert packed.dtype == np.uint8 and out.dtype == np.uint8
     assert out.shape[0] == 2 * packed.shape[0]
     _lib.unpack_4bit(packed.ctypes.data, packed.shape[0], out.ctypes.data, threads)
+
+
+_lib.unfold_canonical.restype = None
+_lib.unfold_canonical.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int
+]
+
+
+def unfold_canonical_native(
+    folded: np.ndarray, out: np.ndarray, kmer_len: int, threads: int = 8
+) -> None:
+    """Expand a folded half-plane (counts at min(c, M-c)) to the full 4^K
+    dense array: the canonical member of each {u, M-u} pair gets folded[u],
+    the other 0."""
+    assert folded.dtype == np.uint8 and out.dtype == np.uint8
+    assert folded.shape[0] * 2 == out.shape[0] == 4**kmer_len
+    _lib.unfold_canonical(folded.ctypes.data, out.ctypes.data, kmer_len,
+                          threads)
 
 
 def count256_native(arr: np.ndarray) -> np.ndarray:

@@ -485,6 +485,57 @@ void unpack_4bit(const uint8_t* packed, long n_bytes, uint8_t* out,
   for (auto& th : pool) th.join();
 }
 
+// Folded-plane expansion. The device accumulates counts at
+// w = min(c, M - c) with M = 4^K - 1 (complementing every base maps code c
+// to M - c), so the dense plane is stored in half the space. For odd K
+// exactly one of each pair {u, M - u} is canonical (u <= revcomp(u)): both
+// would force u == revcomp(u), impossible for odd K. This expands the
+// folded half-plane to the full 4^K array: the canonical member of the pair
+// gets folded[u], the other 0.
+static uint16_t RC16[65536];  // revcomp of 8 2-bit symbols
+static const bool RC16_INIT = [] {
+  for (uint32_t x = 0; x < 65536; x++) {
+    uint32_t r = 0, v = x;
+    for (int s = 0; s < 8; s++) {
+      r = (r << 2) | ((~v) & 3);
+      v >>= 2;
+    }
+    RC16[x] = (uint16_t)r;
+  }
+  return true;
+}();
+
+static inline uint64_t rc_code(uint64_t v, int bits) {
+  uint64_t r = 0;
+  int chunks = (bits + 15) / 16;
+  for (int i = 0; i < chunks; i++) r = (r << 16) | RC16[(v >> (16 * i)) & 0xFFFF];
+  return r >> (16 * chunks - bits);
+}
+
+void unfold_canonical(const uint8_t* folded, uint8_t* out, int k,
+                      int threads) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t half = 1ULL << (bits - 1);
+  const uint64_t m = (1ULL << bits) - 1;
+  if (threads < 1) threads = 1;
+  uint64_t per = (half + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    uint64_t lo = t * per, hi = std::min(half, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      for (uint64_t u = lo; u < hi; u++) {
+        uint8_t v = folded[u];
+        bool canon = u <= rc_code(u, bits);
+        out[u] = canon ? v : 0;
+        out[m - u] = canon ? 0 : v;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"
 
 extern "C" {

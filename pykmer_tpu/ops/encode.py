@@ -63,6 +63,25 @@ def canonical_codes(chunk: jax.Array, kmer_len: int) -> jax.Array:
     return jnp.where(bad.astype(bool), sentinel, canon)
 
 
+def fold_codes(codes: jax.Array, kmer_len: int) -> jax.Array:
+    """Map canonical codes into the folded half-space ``min(c, M - c)``.
+
+    Complementing every base maps code c to ``M - c`` (M = 4^K - 1), and for
+    odd K at most one of each pair {u, M - u} is canonical (both would force
+    u == revcomp(u)), so storing counts at the folded position is lossless:
+    the host expands with :func:`pykmer_tpu.ops.readback.unfold_canonical`.
+    Halves dense HBM, per-batch sweep traffic, and readback bytes — and
+    folded codes are uniformly distributed over [0, 4^K/2) (canonical codes
+    skew low; the fold flattens the triangular density), which balances
+    accumulate tiles. Sentinel 4^K maps to the folded sentinel 4^K/2.
+    """
+    dt = codes.dtype
+    m = jnp.asarray(4**kmer_len - 1, dt)
+    half = jnp.asarray(4**kmer_len // 2, dt)
+    folded = jnp.minimum(codes, m - codes)
+    return jnp.where(codes > m, half, folded)
+
+
 def make_canonical_codes_fn(
     kmer_len: int, chunk_windows: int
 ) -> Callable[[jax.Array], jax.Array]:

@@ -210,6 +210,48 @@ def _patch_escapes(dense: jax.Array, out: np.ndarray, escape: int) -> None:
     out[esc_idx] = vals[:n]
 
 
+def _rc_codes_np(u: np.ndarray, kmer_len: int) -> np.ndarray:
+    """Vectorised reverse-complement of K 2-bit symbol codes (host numpy)."""
+    v = u.astype(np.uint64)
+    r = np.zeros_like(v)
+    for _ in range(kmer_len):
+        r = (r << np.uint64(2)) | (~v & np.uint64(3))
+        v = v >> np.uint64(2)
+    return r
+
+
+def unfold_canonical(folded: np.ndarray, kmer_len: int) -> np.ndarray:
+    """Expand the folded half-plane (counts stored at min(c, M-c), see
+    ops.encode.fold_codes) to the full 4^K dense array.
+
+    For each pair {u, M-u} exactly one member is canonical (odd K); it gets
+    folded[u], the other 0. Native threaded kernel with a blockwise numpy
+    fallback."""
+    half = folded.shape[0]
+    size = 2 * half
+    assert size == 4**kmer_len
+    out = np.empty(size, dtype=np.uint8)
+    try:
+        from ..io.native import unfold_canonical_native
+
+        unfold_canonical_native(np.ascontiguousarray(folded), out, kmer_len)
+        return out
+    except ImportError:
+        pass
+    m = size - 1
+    block = 1 << 22
+    for lo in range(0, half, block):
+        hi = min(half, lo + block)
+        u = np.arange(lo, hi, dtype=np.uint64)
+        canon = u <= _rc_codes_np(u, kmer_len)
+        vals = folded[lo:hi]
+        out[lo:hi] = np.where(canon, vals, 0)
+        # mirror cells [m-hi+1, m-lo] in descending-u order
+        mirror = np.where(canon, 0, vals)[::-1]
+        out[m - hi + 1 : m - lo + 1] = mirror
+    return out
+
+
 def fetch_dense(dense: jax.Array, mode: str = "auto") -> np.ndarray:
     """Fetch the device dense array to host numpy (lossless, flat uint8).
 

@@ -1,11 +1,13 @@
 """Count-space-sharded saturating histogram (the multi-chip indexing core).
 
-Layout: with S = n_shards (power of two), canonical code ``c`` lives on shard
-``c & (S-1)`` at local index ``c >> log2(S)`` — low-bit interleaving, because
-canonical codes (min of fwd/rc) are skewed toward low values while their low
-bits are uniform, so shards stay balanced. The global dense array is the
-column-major interleave of the per-shard arrays (see
-:func:`interleaved_to_flat`).
+Layout: counts live in the *folded* half-space ``w = min(c, 4^K-1-c)`` (see
+ops.encode.fold_codes — lossless for odd K, halves HBM/traffic/readback, and
+folded codes are uniformly distributed). With S = n_shards (power of two),
+folded code ``w`` lives on shard ``w & (S-1)`` at local index
+``w >> log2(S)`` — low-bit interleaving keeps shards balanced. The global
+folded plane is the column-major interleave of the per-shard arrays (see
+:func:`interleaved_to_flat`); the host expands it to the 4^K dense array
+with ops.readback.unfold_canonical.
 
 Per step, per chip (inside shard_map over mesh ('data','shards')):
   1. encode its chunk to canonical codes (ops.encode);
@@ -37,14 +39,15 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, SHARD_AXIS
-from ..ops.encode import canonical_codes, code_dtype
+from ..ops.encode import canonical_codes, code_dtype, fold_codes
 from ..ops.histogram import saturating_accumulate
 
 
 def interleaved_to_flat(shards: np.ndarray) -> np.ndarray:
-    """[S, local] per-shard arrays → flat [4^K] dense array.
+    """[S, local] per-shard arrays → the flat folded plane [4^K / 2].
 
-    code c = (local << log2(S)) | s  ⇒  flat[c] = shards[c % S, c // S].
+    folded code w = (local << log2(S)) | s  ⇒  flat[w] = shards[w % S, w // S]
+    (unfold with ops.readback.unfold_canonical to get the 4^K dense array).
     """
     s, local = shards.shape
     return shards.T.reshape(s * local) if s == 1 else np.ascontiguousarray(
@@ -125,8 +128,9 @@ def make_sharded_accumulate(
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     shard_bits = int(n_shards).bit_length() - 1
     data_size = 4**kmer_len
-    local_size = data_size // n_shards
-    assert local_size * n_shards == data_size
+    fold_size = data_size // 2
+    local_size = fold_size // n_shards
+    assert local_size * n_shards == fold_size
     capacity = int(np.ceil(chunk_windows / n_shards * capacity_factor))
     capacity = min(capacity, chunk_windows)
     span = chunk_windows + kmer_len - 1
@@ -141,15 +145,15 @@ def make_sharded_accumulate(
         # dense_local: [1, local_size]; bases_row/mask_row: the chip's
         # bit-packed chunk (see shard_batch_chunks_packed), decoded on-chip
         chunk = unpack_base_2bit_mask(bases_row[0], mask_row[0], span)
-        codes = canonical_codes(chunk, kmer_len)
-        valid = codes < data_size
+        codes = fold_codes(canonical_codes(chunk, kmer_len), kmer_len)
+        valid = codes < fold_size
         num_valid = valid.sum(dtype=jnp.int64)
 
         # key: bucket-major (owner, local); invalid windows past all buckets
         owner = (codes & (n_shards - 1)).astype(jnp.int32)
         local = (codes >> shard_bits).astype(local_dt)
         key = owner.astype(dt) * local_size + local
-        key = jnp.where(valid, key, data_size)
+        key = jnp.where(valid, key, fold_size)
         key = jnp.sort(key)
 
         # bucket offsets via searchsorted on the S+1 bucket boundaries

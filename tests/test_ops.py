@@ -157,3 +157,45 @@ def test_lazy_packed_chunks_match_eager(rng):
             de = unpack_base_2bit_mask(jnp.asarray(eb), jnp.asarray(em), span)
             dl = unpack_base_2bit_mask(jnp.asarray(lb), jnp.asarray(lm), span)
             assert np.array_equal(np.asarray(de), np.asarray(dl))
+
+
+@pytest.mark.parametrize("kmer_len", [3, 5, 7, 9])
+def test_fold_unfold_roundtrip(rng, kmer_len):
+    """Accumulating in the folded half-space then unfolding equals the
+    unfolded accumulation (fold_codes pairs {u, M-u}; exactly one member is
+    canonical for odd K, so the fold is lossless)."""
+    from pykmer_tpu.ops.encode import fold_codes
+    from pykmer_tpu.ops.readback import unfold_canonical
+
+    size = 4**kmer_len
+    codes_np = oracle_canonical_codes(
+        rng.integers(0, 5, 4096).astype(np.uint8), kmer_len
+    )
+    codes = jnp.asarray(
+        np.where(codes_np < 0, size, codes_np), dtype=code_dtype(kmer_len)
+    )
+
+    dense_full, _ = saturating_accumulate(
+        jnp.zeros(size, jnp.uint8), codes, sentinel=size
+    )
+    folded_codes = fold_codes(codes, kmer_len)
+    dense_fold, nvalid = saturating_accumulate(
+        jnp.zeros(size // 2, jnp.uint8), folded_codes, sentinel=size // 2
+    )
+    assert int(nvalid) == int((codes_np >= 0).sum())
+    unfolded = unfold_canonical(np.asarray(dense_fold), kmer_len)
+    assert np.array_equal(unfolded, np.asarray(dense_full))
+
+
+@pytest.mark.parametrize("kmer_len", [5, 9])
+def test_unfold_native_matches_numpy(rng, kmer_len):
+    from pykmer_tpu.ops.readback import _rc_codes_np, unfold_canonical
+
+    half = 4**kmer_len // 2
+    folded = rng.integers(0, 256, half, dtype=np.uint8)
+    u = np.arange(half, dtype=np.uint64)
+    canon = u <= _rc_codes_np(u, kmer_len)
+    expect = np.empty(4**kmer_len, np.uint8)
+    expect[:half] = np.where(canon, folded, 0)
+    expect[half:] = np.where(canon, 0, folded)[::-1]
+    assert np.array_equal(unfold_canonical(folded, kmer_len), expect)

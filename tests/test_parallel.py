@@ -6,6 +6,7 @@ import pytest
 
 from pykmer_tpu.oracle import oracle_canonical_codes, oracle_count_stream
 from pykmer_tpu.ops.encode import chunk_stream
+from pykmer_tpu.ops.readback import unfold_canonical
 from pykmer_tpu.parallel import (
     flat_to_interleaved,
     interleaved_to_flat,
@@ -48,7 +49,7 @@ def test_sharded_accumulate_matches_oracle(rng, n_data, n_shards):
     dense, nk, maxb = state
     assert int(maxb) <= step_fn.capacity, "bucket overflow"
     num = int(nk)
-    got = interleaved_to_flat(np.asarray(dense))
+    got = unfold_canonical(interleaved_to_flat(np.asarray(dense)), kmer_len)
     assert num == want_codes.shape[0]
     assert np.array_equal(got, want)
 
@@ -66,7 +67,7 @@ def test_sharded_accumulate_saturation(rng):
     chunks = shard_batch_chunks_packed(padded, kmer_len, 600, step_fn.rows, 0)
     dense, nk, maxb = step_fn(state, chunks)
     assert int(maxb) <= step_fn.capacity
-    flat = interleaved_to_flat(np.asarray(dense))
+    flat = unfold_canonical(interleaved_to_flat(np.asarray(dense)), kmer_len)
     assert flat[0] == 255
     assert int(nk) == 600
 
