@@ -27,23 +27,26 @@ def make_genome(path: str, total_bp: int, seed: int = 0) -> None:
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # LUT over raw random bytes: ~100x faster than rng.integers(int64) +
+    # fancy scatter on this 2-core host (one-time cost, but 18 min was rude)
+    lut = np.tile(np.frombuffer(b"ACGT", dtype=np.uint8), 64)
     n_chroms = 8
     per = total_bp // n_chroms
     line = 80
     with open(path, "wb") as fh:
         for c in range(n_chroms):
             fh.write(f">chr{c + 1} synthetic\n".encode())
-            seq = alphabet[rng.integers(0, 4, size=per)]
+            seq = lut[np.frombuffer(rng.bytes(per), dtype=np.uint8)]
             # sprinkle N runs like real assemblies
             for _ in range(5):
                 start = int(rng.integers(0, max(per - 1000, 1)))
                 seq[start : start + int(rng.integers(10, 1000))] = ord("N")
             padded_len = (per + line - 1) // line * line
-            rows = np.full(padded_len + padded_len // line, ord("\n"), np.uint8)
-            idx = np.arange(padded_len)
-            rows[idx + idx // line] = np.pad(seq, (0, padded_len - per),
-                                             constant_values=ord("A"))
+            rows = np.empty((padded_len // line, line + 1), np.uint8)
+            rows[:, :line] = np.pad(
+                seq, (0, padded_len - per), constant_values=ord("A")
+            ).reshape(-1, line)
+            rows[:, line] = ord("\n")
             fh.write(rows.tobytes())
 
 

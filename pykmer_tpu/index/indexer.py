@@ -15,6 +15,7 @@ identical metadata JSON modulo wall-clock provenance).
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Optional, Tuple
 
@@ -157,16 +158,16 @@ def create_fasta_index(
         padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
         with stages.stage("device accumulate + fetch"), d2h_keepalive():
             if strategy == "device":
-                dense_np, num_kmers = _accumulate_device(
+                folded_np, num_kmers = _accumulate_device(
                     padded, n_chunks, kmer_len, config, data_size, timer,
                     verbose, stages,
                 )
             else:
-                dense_np, num_kmers = _accumulate_host(
+                folded_np, num_kmers = _accumulate_host(
                     padded, n_chunks, kmer_len, config, data_size, timer, verbose
                 )
     else:
-        dense_np, num_kmers = np.zeros(data_size, dtype=np.uint8), 0
+        folded_np, num_kmers = np.zeros(data_size // 2, dtype=np.uint8), 0
 
     if num_kmers == 0:
         raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
@@ -177,36 +178,31 @@ def create_fasta_index(
     header.num_kmers = int(num_kmers)
     header.chromosomes = chromosomes
     with stages.stage("write + stats + metadata"):
-        # three passes over the 1-4^K-byte array run concurrently (each
-        # releases the GIL): .kin write, sha256 of the same bytes the file
-        # holds, and the 256-bin value histogram
+        # one fused pass: the folded half-plane expands straight into an mmap
+        # of the tmp file (no intermediate 4^K array, no separate write
+        # pass), stats come from the half-size folded plane (each folded pair
+        # contributes its value plus exactly one structural zero), and only
+        # the output sha256 reads the full 4^K bytes (page-cache hot)
         import hashlib
 
         from ..formats.header import fast_counts256
+        from ..ops.readback import unfold_canonical
 
-        results: dict = {}
-
-        def _hash_out() -> None:
-            results["ck"] = hashlib.sha256(dense_np).hexdigest()
-
-        def _count() -> None:
-            results["counts"] = fast_counts256(dense_np)
-
-        threads = [
-            threading.Thread(target=_hash_out, daemon=True),
-            threading.Thread(target=_count, daemon=True),
-        ]
-        for t in threads:
-            t.start()
-        kinfmt.write_kin_array(tmp, dense_np)
-        for t in threads:
-            t.join()
+        counts = fast_counts256(folded_np).copy()
+        counts[0] += folded_np.shape[0]
+        kinfmt.init_sparse_file(tmp, data_size)
+        mm = np.memmap(tmp, dtype=np.uint8, mode="r+", shape=(data_size,))
+        try:
+            unfold_canonical(folded_np, kmer_len, out=mm)
+            output_ck = hashlib.sha256(mm).hexdigest()
+        finally:
+            del mm
         ck_thread.join()
         header.write_metadata(
             tmp,
-            stats_counts256=results["counts"],
+            stats_counts256=counts,
             input_checksum=input_ck.get("hex"),
-            output_checksum=results["ck"],
+            output_checksum=output_ck,
         )
 
     if verify:
@@ -245,32 +241,24 @@ def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bo
     )
 
 
-def _accumulate_device(
-    padded: np.ndarray,
-    n_chunks: int,
-    kmer_len: int,
-    config: IndexConfig,
-    data_size: int,
-    timer: Timer,
-    verbose: bool,
-    stages=None,
-) -> Tuple[np.ndarray, int]:
+@functools.lru_cache(maxsize=None)
+def _make_device_step(kmer_len: int, span: int, use_pallas: bool):
+    """Module-level cache of the jitted per-chunk step.
+
+    One compiled executable per (K, chunk span, kernel) — ever. A fresh
+    ``jax.jit`` closure per indexing run would recompile: after the first
+    donated call the dense array carries the Pallas output's device layout,
+    which a new closure bakes into a *different* HLO/cache key, and XLA
+    compiles through this environment's tunnel run to ~80 s regardless of
+    program size. Reusing the function object skips all of that (the runtime
+    accepts the relaid-out donated input without recompiling)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.encode import canonical_codes, fold_codes, unpack_base_2bit_mask
     from ..ops.histogram import saturating_accumulate
-    from ..ops.readback import fetch_dense, unfold_canonical
 
-    # counts accumulate in the folded half-space min(c, M-c) — half the HBM,
-    # half the per-batch sweep traffic, half the readback bytes; the host
-    # expands losslessly at the end (see ops.encode.fold_codes)
-    fold_size = data_size // 2
-    use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
-    # the dense array lives 2D [D/128, 128] on device: giant 1D programs
-    # (2^30 elements) trigger pathological XLA TPU compile times
-    two_d = fold_size % 128 == 0
-    span = config.chunk_windows + kmer_len - 1
+    fold_size = 4**kmer_len // 2
 
     def step(dense, nk, bases2, maskbits):
         # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base of
@@ -293,10 +281,39 @@ def _accumulate_device(
             dense = flat.reshape(dense.shape)
         return dense, nk + nvalid
 
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _accumulate_device(
+    padded: np.ndarray,
+    n_chunks: int,
+    kmer_len: int,
+    config: IndexConfig,
+    data_size: int,
+    timer: Timer,
+    verbose: bool,
+    stages=None,
+) -> Tuple[np.ndarray, int]:
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.readback import fetch_dense
+
+    # counts accumulate in the folded half-space min(c, M-c) — half the HBM,
+    # half the per-batch sweep traffic, half the readback bytes; returns the
+    # folded plane, which the caller expands losslessly straight into the
+    # output file (see ops.encode.fold_codes / ops.readback.unfold_canonical)
+    fold_size = data_size // 2
+    use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
+    # the dense array lives 2D [D/128, 128] on device: giant 1D programs
+    # (2^30 elements) trigger pathological XLA TPU compile times
+    two_d = fold_size % 128 == 0
+    span = config.chunk_windows + kmer_len - 1
+
     # fully asynchronous dispatch: the k-mer counter is carried on-device and
     # fetched once at the end — any mid-stream sync stalls the pipeline
     # (and costs seconds over tunneled hosts)
-    step_jit = jax.jit(step, donate_argnums=(0, 1))
+    step_jit = _make_device_step(kmer_len, span, use_pallas)
 
     from ..utils.profiling import StageTimer
 
@@ -322,9 +339,7 @@ def _accumulate_device(
         num_kmers = int(nk)
     with stages.stage("dense fetch"):
         folded = fetch_dense(dense, mode=config.readback)
-    with stages.stage("unfold"):
-        result = unfold_canonical(folded, kmer_len)
-    return result, num_kmers
+    return folded, num_kmers
 
 
 def _accumulate_host(
@@ -341,32 +356,15 @@ def _accumulate_host(
     For count spaces exceeding single-chip HBM (K=17: 17 GiB). The device
     returns sorted *folded* codes (min(c, M-c) — halves the host array to
     8.5 GiB at K=17); the host applies a saturating segment update and
-    expands at the end.
+    returns the folded plane for the caller to expand into the output file.
     """
-    import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import (
-        canonical_codes,
-        fold_codes,
-        iter_chunks_packed_lazy,
-        unpack_base_2bit_mask,
-    )
-    from ..ops.readback import unfold_canonical
+    from ..ops.encode import iter_chunks_packed_lazy
 
     span = config.chunk_windows + kmer_len - 1
     fold_size = data_size // 2
-
-    def encode_sort(bases2, maskbits):
-        codes = fold_codes(
-            canonical_codes(
-                unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
-            ),
-            kmer_len,
-        )
-        return jnp.sort(codes)
-
-    encode_jit = jax.jit(encode_sort)
+    encode_jit = _make_encode_sort(kmer_len, span)
 
     dense = np.zeros(fold_size, dtype=np.uint8)
     num_kmers = 0
@@ -383,7 +381,27 @@ def _accumulate_host(
         uniq, counts = _unique_sorted(valid)
         old = dense[uniq].astype(np.int64)
         dense[uniq] = np.minimum(old + np.minimum(counts, 255), 255).astype(np.uint8)
-    return unfold_canonical(dense, kmer_len), num_kmers
+    return dense, num_kmers
+
+
+@functools.lru_cache(maxsize=None)
+def _make_encode_sort(kmer_len: int, span: int):
+    """Jitted encode+sort for the host strategy — cached like _make_device_step."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.encode import canonical_codes, fold_codes, unpack_base_2bit_mask
+
+    def encode_sort(bases2, maskbits):
+        codes = fold_codes(
+            canonical_codes(
+                unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+            ),
+            kmer_len,
+        )
+        return jnp.sort(codes)
+
+    return jax.jit(encode_sort)
 
 
 def _unique_sorted(sorted_vals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

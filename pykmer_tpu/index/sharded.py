@@ -157,11 +157,21 @@ def create_fasta_index_sharded(
             timer.update(total_bp)
 
         folded_np = interleaved_to_flat(np.asarray(dense))
-    dense_np = unfold_canonical(folded_np, kmer_len)
-    kinfmt.write_kin_array(tmp, dense_np)
+    # fused tail (see index/indexer.py): expand the folded plane straight
+    # into an mmap of the tmp file; stats from the half-size folded plane
+    from ..formats.header import fast_counts256
+
+    counts = fast_counts256(folded_np).copy()
+    counts[0] += folded_np.shape[0]
+    kinfmt.init_sparse_file(tmp, data_size)
+    mm = np.memmap(tmp, dtype=np.uint8, mode="r+", shape=(data_size,))
+    try:
+        unfold_canonical(folded_np, kmer_len, out=mm)
+    finally:
+        del mm
     header.num_kmers = int(num_kmers)
     header.chromosomes = chromosomes
-    header.write_metadata(tmp, stats_counts256=np.bincount(dense_np, minlength=256))
+    header.write_metadata(tmp, stats_counts256=counts)
     if verify:
         fresh = KinHeader(project_name, input_file=input_file, kmer_len=kmer_len)
         fresh.update_stats_from_file(tmp)

@@ -21,6 +21,7 @@ zeroes the diagonal anyway (calculate_distance.py:96-97).
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -136,24 +137,13 @@ def merge(
     return json_data, matrix
 
 
-def _pairwise_matrix_device(
-    paths: List[str],
-    data_size: int,
-    min_count: int,
-    max_count: int,
-    block_size: int,
-    threads: int,
-    verbose: bool,
-) -> np.ndarray:
-    """Shared-count N×N matrix; each file streamed exactly once."""
+@_functools.lru_cache(maxsize=None)
+def _make_block_step(n: int):
+    """Jitted per-block contingency matmul, cached per sample count (a fresh
+    ``jax.jit`` per merge run would recompile; compiles through this
+    environment's tunnel cost ~80 s regardless of program size)."""
     import jax
     import jax.numpy as jnp
-
-    n = len(paths)
-    # pad block to a multiple of 8 so validity bits pack evenly and compare
-    # shapes stay static; zero-padding = invalid cells
-    block_size = max(32, min(block_size, (data_size + 7) & ~7))
-    block_size = (block_size + 7) & ~7
 
     @jax.jit
     def step(bits: jax.Array) -> jax.Array:
@@ -164,6 +154,28 @@ def _pairwise_matrix_device(
         v = ((bits[:, :, None] >> shifts) & 1).reshape(n, -1).astype(jnp.int8)
         return jnp.dot(v, v.T, preferred_element_type=jnp.int32)
 
+    return step
+
+
+def _pairwise_matrix_device(
+    paths: List[str],
+    data_size: int,
+    min_count: int,
+    max_count: int,
+    block_size: int,
+    threads: int,
+    verbose: bool,
+) -> np.ndarray:
+    """Shared-count N×N matrix; each file streamed exactly once."""
+    import jax.numpy as jnp
+
+    n = len(paths)
+    # pad block to a multiple of 8 so validity bits pack evenly and compare
+    # shapes stay static; zero-padding = invalid cells
+    block_size = max(32, min(block_size, (data_size + 7) & ~7))
+    block_size = (block_size + 7) & ~7
+
+    step = _make_block_step(n)
     shared = np.zeros((n, n), dtype=np.int64)
     streams = [kinfmt.open_kin_stream(p) for p in paths]
     try:

@@ -25,7 +25,7 @@ All device programs here work on a [rows, 256] 2D view: giant 1D programs
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -220,17 +220,23 @@ def _rc_codes_np(u: np.ndarray, kmer_len: int) -> np.ndarray:
     return r
 
 
-def unfold_canonical(folded: np.ndarray, kmer_len: int) -> np.ndarray:
+def unfold_canonical(
+    folded: np.ndarray, kmer_len: int, out: Optional[np.ndarray] = None
+) -> np.ndarray:
     """Expand the folded half-plane (counts stored at min(c, M-c), see
     ops.encode.fold_codes) to the full 4^K dense array.
 
     For each pair {u, M-u} exactly one member is canonical (odd K); it gets
     folded[u], the other 0. Native threaded kernel with a blockwise numpy
-    fallback."""
+    fallback. ``out`` may be any writable uint8[4^K] buffer — passing a
+    file-backed memmap writes the `.kin` directly, fusing the expand and the
+    file write into one pass (no intermediate 4^K-byte array)."""
     half = folded.shape[0]
     size = 2 * half
     assert size == 4**kmer_len
-    out = np.empty(size, dtype=np.uint8)
+    if out is None:
+        out = np.empty(size, dtype=np.uint8)
+    assert out.shape[0] == size and out.dtype == np.uint8
     try:
         from ..io.native import unfold_canonical_native
 

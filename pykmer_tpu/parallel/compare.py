@@ -9,6 +9,8 @@ host-side blocking works.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable
 
 import jax
@@ -18,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import SHARD_AXIS
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_pair_matrix(
     mesh: Mesh, n_samples: int, cells_per_shard: int,
     min_count: int, max_count: int,

@@ -11,6 +11,8 @@ tail windows drop.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Callable
 
 import jax
@@ -21,6 +23,7 @@ from .mesh import SHARD_AXIS
 from ..ops.encode import canonical_codes
 
 
+@functools.lru_cache(maxsize=None)
 def make_halo_encode(mesh: Mesh, kmer_len: int, shard_len: int) -> Callable:
     """Returns jitted fn: seq [S*shard_len] (sharded) → codes [S*shard_len]
     (sharded; one canonical code per window start, sentinel where invalid or

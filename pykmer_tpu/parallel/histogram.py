@@ -108,6 +108,7 @@ def shard_batch_chunks_packed(
     return bases, mask
 
 
+@functools.lru_cache(maxsize=None)
 def make_sharded_accumulate(
     mesh: Mesh,
     kmer_len: int,
