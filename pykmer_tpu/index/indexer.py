@@ -154,49 +154,56 @@ def create_fasta_index(
 
     from ..utils.keepalive import d2h_keepalive
 
-    if stream.shape[0] >= kmer_len:
+    if stream.shape[0] < kmer_len:
+        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+
+    tmp = header.index_tmp_file
+    with d2h_keepalive():
         padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
-        with stages.stage("device accumulate + fetch"), d2h_keepalive():
+        with stages.stage("device accumulate"):
             if strategy == "device":
-                folded_np, num_kmers = _accumulate_device(
+                # folded counts stay ON DEVICE; the tail streams them out
+                folded, num_kmers = _accumulate_device(
                     padded, n_chunks, kmer_len, config, data_size, timer,
                     verbose, stages,
                 )
             else:
-                folded_np, num_kmers = _accumulate_host(
+                folded, num_kmers = _accumulate_host(
                     padded, n_chunks, kmer_len, config, data_size, timer, verbose
                 )
-    else:
-        folded_np, num_kmers = np.zeros(data_size // 2, dtype=np.uint8), 0
+        if num_kmers == 0:
+            raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+        if total_bp >= PRINT_EVERY:
+            timer.update(total_bp)
 
-    if num_kmers == 0:
-        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
-    if total_bp >= PRINT_EVERY:
-        timer.update(total_bp)
+        header.num_kmers = int(num_kmers)
+        header.chromosomes = chromosomes
+        with stages.stage("fetch + unfold + write"):
+            # streaming tail: d2h slice transfers overlap host-side unpack +
+            # escape patch + unfold, written straight into an mmap of the tmp
+            # file (no intermediate 4^K array, no separate write pass); the
+            # 256-bin stats come from the half-size folded plane (each folded
+            # pair contributes its value plus exactly one structural zero)
+            from ..formats.header import fast_counts256
+            from ..ops.readback import stream_dense_to_out, unfold_canonical
 
-    tmp = header.index_tmp_file
-    header.num_kmers = int(num_kmers)
-    header.chromosomes = chromosomes
-    with stages.stage("write + stats + metadata"):
-        # one fused pass: the folded half-plane expands straight into an mmap
-        # of the tmp file (no intermediate 4^K array, no separate write
-        # pass), stats come from the half-size folded plane (each folded pair
-        # contributes its value plus exactly one structural zero), and only
-        # the output sha256 reads the full 4^K bytes (page-cache hot)
-        import hashlib
+            kinfmt.init_sparse_file(tmp, data_size)
+            mm = np.memmap(tmp, dtype=np.uint8, mode="r+", shape=(data_size,))
+            try:
+                if isinstance(folded, np.ndarray):
+                    counts = fast_counts256(folded).copy()
+                    unfold_canonical(folded, kmer_len, out=mm)
+                else:
+                    counts = stream_dense_to_out(
+                        folded, kmer_len, mm, mode=config.readback
+                    ).copy()
+                counts[0] += data_size // 2
+                import hashlib
 
-        from ..formats.header import fast_counts256
-        from ..ops.readback import unfold_canonical
-
-        counts = fast_counts256(folded_np).copy()
-        counts[0] += folded_np.shape[0]
-        kinfmt.init_sparse_file(tmp, data_size)
-        mm = np.memmap(tmp, dtype=np.uint8, mode="r+", shape=(data_size,))
-        try:
-            unfold_canonical(folded_np, kmer_len, out=mm)
-            output_ck = hashlib.sha256(mm).hexdigest()
-        finally:
-            del mm
+                output_ck = hashlib.sha256(mm).hexdigest()
+            finally:
+                del mm
+    with stages.stage("metadata"):
         ck_thread.join()
         header.write_metadata(
             tmp,
@@ -293,16 +300,13 @@ def _accumulate_device(
     timer: Timer,
     verbose: bool,
     stages=None,
-) -> Tuple[np.ndarray, int]:
-    import jax
+):
     import jax.numpy as jnp
-
-    from ..ops.readback import fetch_dense
 
     # counts accumulate in the folded half-space min(c, M-c) — half the HBM,
     # half the per-batch sweep traffic, half the readback bytes; returns the
-    # folded plane, which the caller expands losslessly straight into the
-    # output file (see ops.encode.fold_codes / ops.readback.unfold_canonical)
+    # ON-DEVICE folded plane, which the caller streams straight into the
+    # output file (see ops.encode.fold_codes, ops.readback.stream_dense_to_out)
     fold_size = data_size // 2
     use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
     # the dense array lives 2D [D/128, 128] on device: giant 1D programs
@@ -337,9 +341,7 @@ def _accumulate_device(
                 print(f"  dispatched windows {done_windows:15,d}")
     with stages.stage("num_kmers sync"):
         num_kmers = int(nk)
-    with stages.stage("dense fetch"):
-        folded = fetch_dense(dense, mode=config.readback)
-    return folded, num_kmers
+    return dense, num_kmers
 
 
 def _accumulate_host(

@@ -235,6 +235,28 @@ def unfold_canonical_native(
                           threads)
 
 
+_lib.unfold_canonical_range.restype = None
+_lib.unfold_canonical_range.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ctypes.c_uint64, ctypes.c_uint64,
+]
+
+
+def unfold_canonical_range_native(
+    folded_slice: np.ndarray, out: np.ndarray, kmer_len: int, lo: int
+) -> None:
+    """Expand folded indices [lo, lo + len(folded_slice)) into the full
+    4^K output array (slice variant of unfold_canonical_native; one slice
+    per caller thread — the fetch worker pool provides the parallelism)."""
+    assert folded_slice.dtype == np.uint8 and out.dtype == np.uint8
+    assert out.shape[0] == 4**kmer_len
+    assert lo + folded_slice.shape[0] <= out.shape[0] // 2
+    _lib.unfold_canonical_range(
+        folded_slice.ctypes.data, out.ctypes.data, kmer_len,
+        lo, folded_slice.shape[0],
+    )
+
+
 def count256_native(arr: np.ndarray) -> np.ndarray:
     assert arr.dtype == np.uint8
     arr = np.ascontiguousarray(arr.reshape(-1))

@@ -536,6 +536,24 @@ void unfold_canonical(const uint8_t* folded, uint8_t* out, int k,
   for (auto& th : pool) th.join();
 }
 
+// Slice variant for the streaming fetch→unfold pipeline: expand folded
+// indices [lo, lo + n) (values given in `folded_slice`) into the FULL output
+// array `out` (base pointer of the 4^K plane). Single-threaded: callers run
+// one slice per fetch worker, so parallelism comes from the worker pool.
+void unfold_canonical_range(const uint8_t* folded_slice, uint8_t* out, int k,
+                            uint64_t lo, uint64_t n) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t m = (1ULL << bits) - 1;
+  for (uint64_t i = 0; i < n; i++) {
+    uint64_t u = lo + i;
+    uint8_t v = folded_slice[i];
+    bool canon = u <= rc_code(u, bits);
+    out[u] = canon ? v : 0;
+    out[m - u] = canon ? 0 : v;
+  }
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -258,28 +258,123 @@ def unfold_canonical(
     return out
 
 
+def unfold_range(
+    folded_slice: np.ndarray, out: np.ndarray, kmer_len: int, lo: int
+) -> None:
+    """Expand folded indices [lo, lo+len(slice)) into the full 4^K array
+    ``out`` (slice variant of :func:`unfold_canonical`)."""
+    try:
+        from ..io.native import unfold_canonical_range_native
+
+        unfold_canonical_range_native(
+            np.ascontiguousarray(folded_slice), out, kmer_len, lo
+        )
+        return
+    except ImportError:
+        pass
+    size = out.shape[0]
+    m = size - 1
+    hi = lo + folded_slice.shape[0]
+    u = np.arange(lo, hi, dtype=np.uint64)
+    canon = u <= _rc_codes_np(u, kmer_len)
+    out[lo:hi] = np.where(canon, folded_slice, 0)
+    out[m - hi + 1 : m - lo + 1] = np.where(canon, 0, folded_slice)[::-1]
+
+
+def _pick_mode(dense: jax.Array, size: int, mode: str) -> str:
+    """Resolve "auto" to a concrete plane via the device escape counts."""
+    if mode == "raw" or (mode == "auto" and size < (1 << 26)) or size % _PACK_LANES:
+        return "raw"
+    if mode != "auto":
+        return mode
+    n_ge3, n_ge7, n_ge15 = (int(v) for v in count_all_escapes(dense))
+    # bytes moved per plane: plane bits/8 per cell + ~9 bytes per escape
+    # (index upload + value download + dispatch overheads)
+    costs = {
+        "2bit": size // 4 + 9 * n_ge3,
+        "3bit": 3 * size // 8 + 9 * n_ge7,
+        "packed": size // 2 + 9 * n_ge15,
+    }
+    mode = min(costs, key=costs.get)
+    return "raw2d" if costs[mode] > size else mode
+
+
+def stream_dense_to_out(
+    dense: jax.Array,
+    kmer_len: int,
+    out: np.ndarray,
+    mode: str = "auto",
+    slice_bytes: int = SLICE_BYTES,
+    threads: int = FETCH_THREADS,
+) -> np.ndarray:
+    """Fetch the folded device plane and expand it straight into ``out``
+    (uint8[4^K], e.g. a `.kin` memmap), overlapping the d2h slice transfers
+    with host-side unpack + escape patch + unfold: each fetch worker finishes
+    its slice end-to-end, so transfer wait hides the CPU work (and the
+    folded plane is never materialised whole on the host).
+
+    Returns the exact 256-bin counts of the folded plane (int64[256])."""
+    from ..formats.header import fast_counts256
+
+    size = int(np.prod(dense.shape))
+    assert out.shape[0] == 2 * size and out.dtype == np.uint8
+    mode = _pick_mode(dense, size, mode)
+
+    if mode == "raw":
+        folded = fetch_dense(dense, mode="raw")
+        unfold_canonical(folded, kmer_len, out=out)
+        return fast_counts256(folded)
+
+    if mode == "raw2d":
+        packed, unpack, escape = _as2d(dense), None, None
+    elif mode == "2bit":
+        packed, unpack, escape = pack_2bit(dense), unpack_2bit, ESCAPE2
+    elif mode == "3bit":
+        packed, unpack, escape = pack_3bit(dense), unpack_3bit, ESCAPE3
+    else:
+        packed, unpack, escape = pack_nibbles(dense), unpack_nibbles, ESCAPE4
+    cells_per_row = _PACK_LANES
+    rows, row_bytes = packed.shape
+    rows_per = max(1, slice_bytes // max(row_bytes, 1))
+    bounds = list(range(0, rows, rows_per)) + [rows]
+
+    def work(i: int) -> np.ndarray:
+        rlo, rhi = bounds[i], bounds[i + 1]
+        buf = np.asarray(packed[rlo:rhi])
+        folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
+        lo = rlo * cells_per_row
+        if escape is not None:
+            esc_local = np.flatnonzero(folded_slice == escape)
+            n = esc_local.shape[0]
+            if n:
+                padded = 1 << max(n - 1, 1).bit_length()
+                idx = np.zeros(padded, dtype=np.int64)
+                idx[:n] = esc_local + lo
+                rows_d = jnp.asarray((idx // _PACK_LANES).astype(np.int32))
+                cols_d = jnp.asarray((idx % _PACK_LANES).astype(np.int32))
+                vals = np.asarray(_gather_cells(dense, rows_d, cols_d))
+                folded_slice[esc_local] = vals[:n]
+        counts = fast_counts256(folded_slice)
+        unfold_range(folded_slice, out, kmer_len, lo)
+        return counts
+
+    totals = np.zeros(256, dtype=np.int64)
+    with ThreadPoolExecutor(threads) as ex:
+        for c in ex.map(work, range(len(bounds) - 1)):
+            totals += c
+    return totals
+
+
 def fetch_dense(dense: jax.Array, mode: str = "auto") -> np.ndarray:
     """Fetch the device dense array to host numpy (lossless, flat uint8).
 
     mode: "auto" | "2bit" | "packed" (nibbles) | "raw".
     """
     size = int(np.prod(dense.shape))
-    if mode == "raw" or (mode == "auto" and size < (1 << 26)) or size % _PACK_LANES:
+    mode = _pick_mode(dense, size, mode)
+    if mode == "raw":
         return fetch_array_mt(_as2d(dense)).reshape(-1) if size % _PACK_LANES == 0 \
             else np.asarray(dense).reshape(-1)
-    if mode == "auto":
-        n_ge3, n_ge7, n_ge15 = (int(v) for v in count_all_escapes(dense))
-        # bytes moved per plane: plane bits/8 per cell + ~9 bytes per escape
-        # (index upload + value download + dispatch overheads)
-        costs = {
-            "2bit": size // 4 + 9 * n_ge3,
-            "3bit": 3 * size // 8 + 9 * n_ge7,
-            "packed": size // 2 + 9 * n_ge15,
-        }
-        mode = min(costs, key=costs.get)
-        if costs[mode] > size:
-            mode = "raw2d"
-
     if mode == "raw2d":
         return fetch_array_mt(_as2d(dense)).reshape(-1)
     if mode == "2bit":

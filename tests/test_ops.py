@@ -199,3 +199,45 @@ def test_unfold_native_matches_numpy(rng, kmer_len):
     expect[:half] = np.where(canon, folded, 0)
     expect[half:] = np.where(canon, 0, folded)[::-1]
     assert np.array_equal(unfold_canonical(folded, kmer_len), expect)
+
+
+@pytest.mark.parametrize("mode", ["raw", "2bit", "3bit", "packed", "auto"])
+def test_stream_dense_to_out_matches_fetch(rng, mode):
+    """The streaming fetch→unfold tail (stream_dense_to_out) must produce
+    the same 4^K plane as fetch_dense + unfold_canonical, and exact folded
+    counts (used for .kin.json stats)."""
+    from pykmer_tpu.formats.header import fast_counts256
+    from pykmer_tpu.ops.readback import (
+        fetch_dense,
+        stream_dense_to_out,
+        unfold_canonical,
+    )
+
+    kmer_len = 9
+    half = 4**kmer_len // 2
+    # escape-heavy distribution so every plane's patch path is exercised
+    folded_np = rng.integers(0, 64, half, dtype=np.uint8) \
+        * (rng.random(half) < 0.3)
+    dense = jnp.asarray(folded_np.reshape(-1, 128))
+
+    expect = unfold_canonical(fetch_dense(dense, mode="raw"), kmer_len)
+    out = np.zeros(4**kmer_len, np.uint8)
+    counts = stream_dense_to_out(
+        dense, kmer_len, out, mode=mode, slice_bytes=1 << 14
+    )
+    assert np.array_equal(out, expect)
+    assert np.array_equal(counts, fast_counts256(folded_np))
+
+
+def test_unfold_range_matches_whole(rng):
+    from pykmer_tpu.ops.readback import unfold_canonical, unfold_range
+
+    kmer_len = 7
+    half = 4**kmer_len // 2
+    folded = rng.integers(0, 256, half, dtype=np.uint8)
+    expect = unfold_canonical(folded, kmer_len)
+    out = np.zeros(4**kmer_len, np.uint8)
+    for lo in range(0, half, 1000):
+        hi = min(half, lo + 1000)
+        unfold_range(folded[lo:hi], out, kmer_len, lo)
+    assert np.array_equal(out, expect)
