@@ -69,15 +69,20 @@ def _concat_records(
     return stream, chromosomes, total_bp
 
 
-def _load_joined_stream(input_file: str, kmer_len: int):
+def _load_joined_stream(input_file: str, kmer_len: int, raw_out: Optional[dict] = None):
     """FASTA → (joined code stream, chromosomes, total_bp).
 
     Native one-pass path (decode + separator-join + valid-run detection in
     C++) with the NumPy record path as fallback — identical semantics
-    (tested)."""
+    (tested). When ``raw_out`` is given and the input is a plain (not
+    compressed) file, ``raw_out["bytes"]`` receives the raw file buffer so
+    the caller can checksum it from memory instead of re-reading the file."""
     from ..io.fasta import open_input_bytes
 
     data = open_input_bytes(input_file)
+    if raw_out is not None and input_file is not None \
+            and not input_file.endswith((".gz", ".bgz")):
+        raw_out["bytes"] = data
     try:
         from ..io.native import fasta_decode_joined_native
 
@@ -126,11 +131,15 @@ def create_fasta_index(
 
     stages = StageTimer()
     timer = header.timer
+    raw: dict = {}
     with stages.stage("fasta decode + join"):
-        stream, chromosomes, total_bp = _load_joined_stream(input_file, kmer_len)
+        stream, chromosomes, total_bp = _load_joined_stream(
+            input_file, kmer_len, raw_out=raw
+        )
 
     # input checksum in a background thread (hashlib releases the GIL):
-    # overlaps the device accumulate + fetch phases
+    # overlaps the device accumulate + fetch phases; plain files hash the
+    # buffer already in memory instead of paying a second cold disk read
     import threading
 
     from ..utils.checksum import sha256_file
@@ -138,7 +147,13 @@ def create_fasta_index(
     input_ck: dict = {}
 
     def _hash_input() -> None:
-        input_ck["hex"] = sha256_file(header.input_file_path)
+        if "bytes" in raw:
+            import hashlib as _hashlib
+
+            input_ck["hex"] = _hashlib.sha256(raw["bytes"]).hexdigest()
+            del raw["bytes"]
+        else:
+            input_ck["hex"] = sha256_file(header.input_file_path)
 
     ck_thread = threading.Thread(target=_hash_input, daemon=True)
     ck_thread.start()
@@ -180,29 +195,39 @@ def create_fasta_index(
         header.chromosomes = chromosomes
         with stages.stage("fetch + unfold + write"):
             # streaming tail: d2h slice transfers overlap host-side unpack +
-            # escape patch + unfold, written straight into an mmap of the tmp
-            # file (no intermediate 4^K array, no separate write pass); the
-            # 256-bin stats come from the half-size folded plane (each folded
-            # pair contributes its value plus exactly one structural zero)
-            from ..formats.header import fast_counts256
-            from ..ops.readback import stream_dense_to_out, unfold_canonical
+            # escape patch + unfold into a hugepage RAM plane, with finished
+            # regions pwritten to the tmp file from the same workers (disk
+            # overlaps transfers; file mmaps are avoided — page faults run
+            # ~3 MB/s here). 256-bin stats come from the half-size folded
+            # plane (each folded pair adds its value plus exactly one
+            # structural zero).
+            import hashlib
 
-            kinfmt.init_sparse_file(tmp, data_size)
-            mm = np.memmap(tmp, dtype=np.uint8, mode="r+", shape=(data_size,))
+            from ..formats.header import fast_counts256
+            from ..ops.readback import (
+                _pwrite_all,
+                stream_dense_to_out,
+                unfold_canonical,
+            )
+            from ..utils.bigmem import big_empty
+
+            out = big_empty(data_size)
+            fd = os.open(tmp, os.O_RDWR | os.O_CREAT | os.O_TRUNC, 0o644)
             try:
+                os.ftruncate(fd, data_size)
                 if isinstance(folded, np.ndarray):
                     counts = fast_counts256(folded).copy()
-                    unfold_canonical(folded, kmer_len, out=mm)
+                    unfold_canonical(folded, kmer_len, out=out)
+                    _pwrite_all(fd, out, 0)
                 else:
                     counts = stream_dense_to_out(
-                        folded, kmer_len, mm, mode=config.readback
+                        folded, kmer_len, out, mode=config.readback, fd=fd
                     ).copy()
                 counts[0] += data_size // 2
-                import hashlib
-
-                output_ck = hashlib.sha256(mm).hexdigest()
+                output_ck = hashlib.sha256(out).hexdigest()
             finally:
-                del mm
+                os.close(fd)
+            del out
     with stages.stage("metadata"):
         ck_thread.join()
         header.write_metadata(
@@ -368,7 +393,9 @@ def _accumulate_host(
     fold_size = data_size // 2
     encode_jit = _make_encode_sort(kmer_len, span)
 
-    dense = np.zeros(fold_size, dtype=np.uint8)
+    from ..utils.bigmem import big_zeros
+
+    dense = big_zeros(fold_size)
     num_kmers = 0
     for bases2, maskbits in iter_chunks_packed_lazy(
         padded, kmer_len, config.chunk_windows, n_chunks

@@ -63,12 +63,22 @@ def open_input_bytes(input_file: Optional[str]):
             pass
         with gzip.open(input_file, "rb") as fh:
             return fh.read()
-    # plain files: zero-copy readonly mmap (decode streams straight from the
-    # page cache instead of paying a full read+copy); empty files can't be
-    # mapped
-    if os.path.getsize(input_file) == 0:
+    # plain files: buffered read into a populated hugepage buffer. (An mmap
+    # of the file is NOT used: this environment's file-backed page faults run
+    # ~3 MB/s, vs ~30 MB/s cold / GB/s-warm for read(); and a fresh bytes
+    # object would pay ~370 us/4K first-touch anonymous faults — see
+    # utils/bigmem.)
+    size = os.path.getsize(input_file)
+    if size == 0:
         return b""
-    return np.memmap(input_file, dtype=np.uint8, mode="r")
+    from ..utils.bigmem import big_empty
+
+    buf = big_empty(size)
+    with open(input_file, "rb", buffering=0) as fh:
+        got = fh.readinto(memoryview(buf))
+    if got != size:
+        raise IOError(f"{input_file}: short read ({got} of {size} bytes)")
+    return buf
 
 
 def _stripped_ws_mask(buf: np.ndarray, ws: np.ndarray, nl: np.ndarray) -> np.ndarray:

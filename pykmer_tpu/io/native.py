@@ -73,8 +73,10 @@ def fasta_decode_native(
         buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
     else:
         buf = np.frombuffer(data, dtype=np.uint8)
-    max_recs = int(np.count_nonzero(buf == ord(">"))) + 1
-    codes = np.empty(n, dtype=np.uint8)
+    max_recs = int(count256_native(buf)[ord(">")]) + 1
+    from ..utils.bigmem import big_empty
+
+    codes = big_empty(n)
     starts = np.empty(max_recs + 1, dtype=np.int64)
     name_off = np.empty(max_recs, dtype=np.int64)
     name_len = np.empty(max_recs, dtype=np.int64)
@@ -124,7 +126,9 @@ def bgzf_compress_buffer_native(
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
     n_blocks = (n + block_size - 1) // block_size
-    out = np.empty(n_blocks * 65536, dtype=np.uint8)
+    from ..utils.bigmem import big_empty
+
+    out = big_empty(n_blocks * 65536)
     csizes = np.empty(n_blocks, dtype=np.int64)
     total = _lib.bgzf_compress_buffer(
         buf.ctypes.data, n, block_size, level, threads,
@@ -135,22 +139,32 @@ def bgzf_compress_buffer_native(
     return out[:total], csizes
 
 
-def gzip_decompress_native(path: str, threads: int = 2) -> Optional[bytes]:
-    """Decompress a gzip/BGZF file (block-parallel for BGZF)."""
-    with open(path, "rb") as fh:
-        data = fh.read()
-    src = np.frombuffer(data, dtype=np.uint8)
-    cap = max(len(data) * 4, 1 << 20)
+def gzip_decompress_native(path: str, threads: int = 2):
+    """Decompress a gzip/BGZF file (block-parallel for BGZF).
+
+    Returns a uint8 ndarray (hugepage-backed — a bytes copy would pay this
+    environment's slow first-touch faults twice), or None on failure."""
+    import os as _os
+
+    from ..utils.bigmem import big_empty
+
+    fsize = _os.path.getsize(path)
+    data = big_empty(max(fsize, 1))
+    with open(path, "rb", buffering=0) as fh:
+        got_in = fh.readinto(memoryview(data[:fsize]))
+    if got_in != fsize:
+        return None
+    cap = max(fsize * 4, 1 << 20)
     for _ in range(8):
-        out = np.empty(cap, dtype=np.uint8)
-        got = _lib.gzip_decompress(src.ctypes.data, len(data),
+        out = big_empty(cap)
+        got = _lib.gzip_decompress(data.ctypes.data, fsize,
                                    out.ctypes.data, cap, threads)
         if got == -2:
             cap *= 4
             continue
         if got < 0:
             return None
-        return out[:got].tobytes()
+        return out[:got]
     return None
 
 
@@ -273,7 +287,7 @@ _lib.fasta_decode_joined.argtypes = [
 ]
 _lib.fasta_decode_joined_mt.restype = ctypes.c_long
 _lib.fasta_decode_joined_mt.argtypes = _lib.fasta_decode_joined.argtypes + [
-    ctypes.c_int
+    ctypes.c_int, ctypes.c_void_p
 ]
 
 
@@ -291,8 +305,16 @@ def fasta_decode_joined_native(data, kmer_len: int, threads: int = 8):
         buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
     else:
         buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
-    max_recs = int(np.count_nonzero(buf == ord(">"))) + 1
-    codes = np.empty(n + max_recs * (kmer_len - 1), dtype=np.uint8)
+    # '>' count via the one-pass native bincount: a `buf == ord('>')` bool
+    # temp at GiB scale pays this environment's slow first-touch faults
+    max_recs = (int(count256_native(buf)[ord(">")]) if n else 0) + 1
+    from ..utils.bigmem import big_empty
+
+    codes = big_empty(n + max_recs * (kmer_len - 1))
+    # pre-populated staging arena for the MT path's per-thread buffers
+    # (C++ malloc would pay this environment's slow first-touch faults)
+    scratch = big_empty(n + max_recs * (kmer_len - 1)) \
+        if (threads > 1 and n >= (1 << 20)) else codes
     seq_len = np.empty(max_recs, dtype=np.int64)
     has_valid = np.empty(max_recs, dtype=np.uint8)
     name_off = np.empty(max_recs, dtype=np.int64)
@@ -302,8 +324,9 @@ def fasta_decode_joined_native(data, kmer_len: int, threads: int = 8):
         buf.ctypes.data if n else None, n, kmer_len, codes.ctypes.data,
         seq_len.ctypes.data, has_valid.ctypes.data,
         name_off.ctypes.data, name_len.ctypes.data,
-        max_recs, out_len.ctypes.data, threads,
+        max_recs, out_len.ctypes.data, threads, scratch.ctypes.data,
     )
+    del scratch
     if n_recs < 0:
         return None
     chromosomes = [

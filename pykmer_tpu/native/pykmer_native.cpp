@@ -619,11 +619,15 @@ long fasta_decode_joined(const uint8_t* data, long n, long k, uint8_t* codes,
 //   phase 2 (parallel): each thread decodes a contiguous range of records
 //            into a private buffer with the exact serial per-line semantics;
 //   phase 3 (parallel): prefix-sum buffer lengths, memcpy into `codes`.
+// `scratch`: caller-provided arena of >= n + max_recs*(k-1) bytes for the
+// per-thread staging buffers (malloc'd memory would pay this environment's
+// ~370us/4K first-touch faults; the caller pre-populates the arena instead).
 long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
                             uint8_t* codes, long* rec_seq_len,
                             uint8_t* rec_has_valid, long* rec_name_off,
                             long* rec_name_len, long max_recs,
-                            long* codes_len_out, int threads) {
+                            long* codes_len_out, int threads,
+                            uint8_t* scratch) {
   if (threads <= 1 || n < (1 << 20))
     return fasta_decode_joined(data, n, k, codes, rec_seq_len, rec_has_valid,
                                rec_name_off, rec_name_len, max_recs,
@@ -673,7 +677,7 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
   if (threads > (int)n_recs) threads = (int)n_recs;
   long per = (n_recs + threads - 1) / threads;
   struct Buf {
-    std::unique_ptr<uint8_t[]> p;
+    uint8_t* p = nullptr;
     long len = 0;
   };
   std::vector<Buf> bufs(threads);
@@ -685,9 +689,10 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
       long byte_lo = header_start[r0];
       long byte_hi = (r1 < n_recs) ? header_start[r1] : n;
       auto& buf = bufs[t];
-      buf.p.reset(
-          new uint8_t[(size_t)(byte_hi - byte_lo) + (size_t)(r1 - r0) * (k - 1)]);
-      uint8_t* dst = buf.p.get();
+      // disjoint arena region: output never exceeds the input byte span
+      // plus one (k-1) separator per record in the range
+      buf.p = scratch + byte_lo + (size_t)r0 * (k - 1);
+      uint8_t* dst = buf.p;
       long len = 0;
       long rec = r0 - 1;  // current record index (r0's header comes first)
       long rec_start = 0;  // offset of current record's codes in dst
@@ -745,7 +750,7 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
   for (int t = 0; t < nbufs; t++) {
     pool2.emplace_back([&, t] {
       uint8_t* dst = codes + offset[t];
-      memcpy(dst, bufs[t].p.get(), (size_t)bufs[t].len);
+      memcpy(dst, bufs[t].p, (size_t)bufs[t].len);
       if (t + 1 < nbufs) memset(dst + bufs[t].len, 4, (size_t)(k - 1));
     });
   }

@@ -24,6 +24,7 @@ All device programs here work on a [rows, 256] 2D view: giant 1D programs
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
 
@@ -31,6 +32,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.bigmem import big_empty
 
 ESCAPE4 = 15
 ESCAPE3 = 7
@@ -109,7 +112,7 @@ def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
     the numpy fallback expands via one broadcast shift into a contiguous
     [n, 2] buffer (strided column stores are ~10x slower at GiB scale)."""
     flat = np.ascontiguousarray(packed).reshape(-1)
-    out = np.empty(2 * flat.shape[0], dtype=np.uint8)
+    out = big_empty(2 * flat.shape[0])
     try:
         from ..io.native import unpack_4bit_native
 
@@ -129,7 +132,7 @@ def unpack_3bit(packed: np.ndarray) -> np.ndarray:
     flat = np.ascontiguousarray(packed).reshape(-1)
     assert flat.shape[0] % 3 == 0
     n_groups = flat.shape[0] // 3
-    out = np.empty(8 * n_groups, dtype=np.uint8)
+    out = big_empty(8 * n_groups)
     try:
         from ..io.native import unpack_3bit_native
 
@@ -148,7 +151,7 @@ def unpack_2bit(packed: np.ndarray) -> np.ndarray:
 
     Flat layout: cell ``4p + i`` is bits [2i, 2i+2) of packed byte ``p``."""
     flat = np.ascontiguousarray(packed).reshape(-1)
-    out = np.empty(4 * flat.shape[0], dtype=np.uint8)
+    out = big_empty(4 * flat.shape[0])
     try:
         from ..io.native import unpack_2bit_native
 
@@ -177,7 +180,7 @@ def fetch_array_mt(
     itemsize = np.dtype(dev.dtype).itemsize
     row_bytes = cols * itemsize
     if out is None:
-        out = np.empty((rows, cols), dtype=dev.dtype)
+        out = big_empty((rows, cols), dtype=dev.dtype)
     rows_per = max(1, slice_bytes // max(row_bytes, 1))
     if rows <= rows_per:
         out[...] = np.asarray(dev)
@@ -235,7 +238,7 @@ def unfold_canonical(
     size = 2 * half
     assert size == 4**kmer_len
     if out is None:
-        out = np.empty(size, dtype=np.uint8)
+        out = big_empty(size)
     assert out.shape[0] == size and out.dtype == np.uint8
     try:
         from ..io.native import unfold_canonical_native
@@ -306,12 +309,16 @@ def stream_dense_to_out(
     mode: str = "auto",
     slice_bytes: int = SLICE_BYTES,
     threads: int = FETCH_THREADS,
+    fd: Optional[int] = None,
 ) -> np.ndarray:
     """Fetch the folded device plane and expand it straight into ``out``
-    (uint8[4^K], e.g. a `.kin` memmap), overlapping the d2h slice transfers
-    with host-side unpack + escape patch + unfold: each fetch worker finishes
-    its slice end-to-end, so transfer wait hides the CPU work (and the
-    folded plane is never materialised whole on the host).
+    (uint8[4^K]), overlapping the d2h slice transfers with host-side unpack +
+    escape patch + unfold: each fetch worker finishes its slice end-to-end,
+    so transfer wait hides the CPU work (and the folded plane is never
+    materialised whole on the host). With ``fd``, each worker also pwrites
+    its two finished output regions to the file, so disk I/O overlaps the
+    transfers too (mmap-backed file writes are NOT used: file page faults
+    run ~3 MB/s in this environment, pwrite ~80 MB/s).
 
     Returns the exact 256-bin counts of the folded plane (int64[256])."""
     from ..formats.header import fast_counts256
@@ -323,6 +330,8 @@ def stream_dense_to_out(
     if mode == "raw":
         folded = fetch_dense(dense, mode="raw")
         unfold_canonical(folded, kmer_len, out=out)
+        if fd is not None:
+            _pwrite_all(fd, out, 0)
         return fast_counts256(folded)
 
     if mode == "raw2d":
@@ -337,6 +346,8 @@ def stream_dense_to_out(
     rows, row_bytes = packed.shape
     rows_per = max(1, slice_bytes // max(row_bytes, 1))
     bounds = list(range(0, rows, rows_per)) + [rows]
+
+    full = out.shape[0]
 
     def work(i: int) -> np.ndarray:
         rlo, rhi = bounds[i], bounds[i + 1]
@@ -356,6 +367,11 @@ def stream_dense_to_out(
                 folded_slice[esc_local] = vals[:n]
         counts = fast_counts256(folded_slice)
         unfold_range(folded_slice, out, kmer_len, lo)
+        if fd is not None:
+            hi = lo + folded_slice.shape[0]
+            # forward region [lo, hi) and its mirror [full-hi, full-lo)
+            _pwrite_all(fd, out[lo:hi], lo)
+            _pwrite_all(fd, out[full - hi : full - lo], full - hi)
         return counts
 
     totals = np.zeros(256, dtype=np.int64)
@@ -363,6 +379,16 @@ def stream_dense_to_out(
         for c in ex.map(work, range(len(bounds) - 1)):
             totals += c
     return totals
+
+
+def _pwrite_all(fd: int, arr: np.ndarray, offset: int) -> None:
+    """Positional write of a contiguous uint8 array (loops on short writes)."""
+    view = memoryview(arr)
+    pos = offset
+    while len(view):
+        n = os.pwrite(fd, view, pos)
+        view = view[n:]
+        pos += n
 
 
 def fetch_dense(dense: jax.Array, mode: str = "auto") -> np.ndarray:

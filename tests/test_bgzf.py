@@ -85,11 +85,11 @@ def test_native_parity(tmp_path, rng):
     src = tmp_path / "n.bin"
     src.write_bytes(data)
     bgz, _ = bgzf.compress_file(str(src))
-    assert native.gzip_decompress_native(bgz) == data
+    assert bytes(native.gzip_decompress_native(bgz)) == data
     gz = tmp_path / "n.gz"
     with gzip.open(gz, "wb") as fh:
         fh.write(data)
-    assert native.gzip_decompress_native(str(gz)) == data
+    assert bytes(native.gzip_decompress_native(str(gz))) == data
 
     # native fasta decode vs python paths on the tricky cases
     from pykmer_tpu.io.fasta import decode_fasta_bytes
