@@ -311,10 +311,11 @@ def fasta_decode_joined_native(data, kmer_len: int, threads: int = 8):
     from ..utils.bigmem import big_empty
 
     codes = big_empty(n + max_recs * (kmer_len - 1))
-    # pre-populated staging arena for the MT path's per-thread buffers
-    # (C++ malloc would pay this environment's slow first-touch faults)
-    scratch = big_empty(n + max_recs * (kmer_len - 1)) \
-        if (threads > 1 and n >= (1 << 20)) else codes
+    # the MT path stages per-thread output in `codes` itself (in-place
+    # compaction in the native layer): a separate malloc'd arena would pay
+    # this environment's slow first-touch faults, and even a pooled second
+    # arena doubles the resident footprint
+    scratch = codes
     seq_len = np.empty(max_recs, dtype=np.int64)
     has_valid = np.empty(max_recs, dtype=np.uint8)
     name_off = np.empty(max_recs, dtype=np.int64)

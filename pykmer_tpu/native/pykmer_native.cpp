@@ -746,15 +746,27 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
   std::vector<long> offset(nbufs + 1, 0);
   for (int t = 0; t < nbufs; t++)
     offset[t + 1] = offset[t] + bufs[t].len + (t + 1 < nbufs ? (k - 1) : 0);
-  std::vector<std::thread> pool2;
-  for (int t = 0; t < nbufs; t++) {
-    pool2.emplace_back([&, t] {
+  if (scratch == codes) {
+    // in-place compaction: every arena region starts at or after its final
+    // destination (dest offset[t] = sum of decoded lens + separators, which
+    // never exceeds the input byte prefix + r0*(k-1) = arena start), so a
+    // sequential increasing-t memmove never clobbers an uncopied region
+    for (int t = 0; t < nbufs; t++) {
       uint8_t* dst = codes + offset[t];
-      memcpy(dst, bufs[t].p, (size_t)bufs[t].len);
+      memmove(dst, bufs[t].p, (size_t)bufs[t].len);
       if (t + 1 < nbufs) memset(dst + bufs[t].len, 4, (size_t)(k - 1));
-    });
+    }
+  } else {
+    std::vector<std::thread> pool2;
+    for (int t = 0; t < nbufs; t++) {
+      pool2.emplace_back([&, t] {
+        uint8_t* dst = codes + offset[t];
+        memcpy(dst, bufs[t].p, (size_t)bufs[t].len);
+        if (t + 1 < nbufs) memset(dst + bufs[t].len, 4, (size_t)(k - 1));
+      });
+    }
+    for (auto& th : pool2) th.join();
   }
-  for (auto& th : pool2) th.join();
   *codes_len_out = offset[nbufs];
   return n_recs;
 }

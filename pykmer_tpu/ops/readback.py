@@ -348,12 +348,20 @@ def stream_dense_to_out(
     bounds = list(range(0, rows, rows_per)) + [rows]
 
     full = out.shape[0]
+    # cumulative per-phase seconds across workers (diagnostics; printed by
+    # the indexer when PYKMER_TPU_STAGE_TIMING is set)
+    phase_s = {"d2h": 0.0, "escape": 0.0, "cpu": 0.0, "pwrite": 0.0}
 
     def work(i: int) -> np.ndarray:
+        import time as _time
+
         rlo, rhi = bounds[i], bounds[i + 1]
+        t0 = _time.monotonic()
         buf = np.asarray(packed[rlo:rhi])
+        t1 = _time.monotonic()
         folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
         lo = rlo * cells_per_row
+        t2 = _time.monotonic()
         if escape is not None:
             esc_local = np.flatnonzero(folded_slice == escape)
             n = esc_local.shape[0]
@@ -365,19 +373,35 @@ def stream_dense_to_out(
                 cols_d = jnp.asarray((idx % _PACK_LANES).astype(np.int32))
                 vals = np.asarray(_gather_cells(dense, rows_d, cols_d))
                 folded_slice[esc_local] = vals[:n]
+        t3 = _time.monotonic()
         counts = fast_counts256(folded_slice)
         unfold_range(folded_slice, out, kmer_len, lo)
+        t4 = _time.monotonic()
         if fd is not None:
             hi = lo + folded_slice.shape[0]
             # forward region [lo, hi) and its mirror [full-hi, full-lo)
             _pwrite_all(fd, out[lo:hi], lo)
             _pwrite_all(fd, out[full - hi : full - lo], full - hi)
+        t5 = _time.monotonic()
+        phase_s["d2h"] += t1 - t0
+        phase_s["escape"] += t3 - t2
+        phase_s["cpu"] += (t2 - t1) + (t4 - t3)
+        phase_s["pwrite"] += t5 - t4
         return counts
 
     totals = np.zeros(256, dtype=np.int64)
     with ThreadPoolExecutor(threads) as ex:
         for c in ex.map(work, range(len(bounds) - 1)):
             totals += c
+    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+        import sys
+
+        print(
+            f"  readback[{mode}]: " + "  ".join(
+                f"{k} {v:8.1f}s" for k, v in phase_s.items()
+            ),
+            file=sys.stderr,
+        )
     return totals
 
 

@@ -128,3 +128,32 @@ def test_native_joined_decode_parity(tmp_path, rng):
             assert np.array_equal(got[0], want[0]), text
             assert got[1] == [tuple(c) for c in want[1]] or got[1] == want[1], text
             assert got[2] == want[2], text
+
+
+def test_native_joined_decode_mt_inplace(rng):
+    """The multithreaded decode (>=1 MiB triggers the in-place staged
+    compaction path) matches the single-thread decode byte-for-byte."""
+    native = pytest.importorskip("pykmer_tpu.io.native")
+
+    # ~2.5 MiB, many records of uneven sizes so thread ranges land at odd
+    # boundaries; Ns + lowercase + blank lines exercise the strip logic
+    alphabet = np.frombuffer(b"ACGTacgtN", dtype=np.uint8)
+    parts = []
+    sizes = [1, 3, 17, 50_000, 120_003, 7, 999_999, 64, 300_000, 1_000_000]
+    for i, n in enumerate(sizes):
+        parts.append(f">rec-{i} d\n".encode())
+        seq = alphabet[rng.integers(0, len(alphabet), size=n)].tobytes()
+        for j in range(0, n, 61):
+            parts.append(seq[j : j + 61] + b"\n")
+        if i % 3 == 0:
+            parts.append(b"\n")  # blank line between records
+    data = b"".join(parts)
+    assert len(data) > (1 << 20)
+
+    for kmer_len in (3, 15):
+        mt = native.fasta_decode_joined_native(data, kmer_len, threads=8)
+        st = native.fasta_decode_joined_native(data, kmer_len, threads=1)
+        assert mt is not None and st is not None
+        assert np.array_equal(mt[0], st[0])
+        assert mt[1] == st[1]
+        assert mt[2] == st[2]
