@@ -103,6 +103,26 @@ def iter_kin_blocks(
     reference's full-coverage invariant (tools.py:492).
     """
     total = 0
+    if not path.endswith("." + COMP_EXT):
+        # raw plane: O_DIRECT positional reads into pooled buffers (buffered
+        # reads pay this environment's slow page-cache allocation)
+        from ..io.direct import DirectReader
+        from ..utils.bigmem import big_empty
+
+        with DirectReader(path) as rd:
+            while total < data_size:
+                want = min(block_size, data_size - total)
+                buf = big_empty(want)
+                got = rd.pread_into(buf, total)
+                if got != want:
+                    raise IOError(
+                        f"{path}: short read at offset {total}: got {got}, "
+                        f"wanted {want}"
+                    )
+                total += want
+                yield buf
+        assert total == data_size
+        return
     with open_kin_stream(path) as fh:
         while total < data_size:
             want = min(block_size, data_size - total)
@@ -140,7 +160,14 @@ def read_kin_array(input_file: str, kmer_len: int, data_size: Optional[int] = No
             data = fh.read()
         arr = np.frombuffer(data, dtype=np.uint8)
     else:
-        arr = np.fromfile(path, dtype=np.uint8)
+        from ..io.direct import read_file_into
+        from ..utils.bigmem import big_empty
+
+        nbytes = os.path.getsize(path)
+        arr = big_empty(nbytes)
+        got = read_file_into(path, arr)
+        if got != nbytes:
+            raise IOError(f"{path}: short read: got {got}, wanted {nbytes}")
     if arr.shape[0] != data_size:
         raise IOError(f"{path}: expected {data_size} bytes, got {arr.shape[0]}")
     return arr

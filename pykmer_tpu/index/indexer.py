@@ -211,10 +211,10 @@ def create_fasta_index(
             )
             from ..utils.bigmem import big_empty
 
+            from ..io.direct import DirectWriter
+
             out = big_empty(data_size)
-            fd = os.open(tmp, os.O_RDWR | os.O_CREAT | os.O_TRUNC, 0o644)
-            try:
-                os.ftruncate(fd, data_size)
+            with DirectWriter(tmp, size=data_size) as fd:
                 if isinstance(folded, np.ndarray):
                     counts = fast_counts256(folded).copy()
                     unfold_canonical(folded, kmer_len, out=out)
@@ -225,8 +225,6 @@ def create_fasta_index(
                     ).copy()
                 counts[0] += data_size // 2
                 output_ck = hashlib.sha256(out).hexdigest()
-            finally:
-                os.close(fd)
             del out
     with stages.stage("metadata"):
         ck_thread.join()

@@ -169,11 +169,10 @@ def create_fasta_index_sharded(
     counts[0] += folded_np.shape[0]
     out = big_empty(data_size)
     unfold_canonical(folded_np, kmer_len, out=out)
-    fd = os.open(tmp, os.O_RDWR | os.O_CREAT | os.O_TRUNC, 0o644)
-    try:
+    from ..io.direct import DirectWriter
+
+    with DirectWriter(tmp, size=data_size) as fd:
         _pwrite_all(fd, out, 0)
-    finally:
-        os.close(fd)
     del out
     header.num_kmers = int(num_kmers)
     header.chromosomes = chromosomes

@@ -74,8 +74,9 @@ def open_input_bytes(input_file: Optional[str]):
     from ..utils.bigmem import big_empty
 
     buf = big_empty(size)
-    with open(input_file, "rb", buffering=0) as fh:
-        got = fh.readinto(memoryview(buf))
+    from .direct import read_file_into
+
+    got = read_file_into(input_file, buf)
     if got != size:
         raise IOError(f"{input_file}: short read ({got} of {size} bytes)")
     return buf

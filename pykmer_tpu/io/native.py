@@ -150,8 +150,9 @@ def gzip_decompress_native(path: str, threads: int = 2):
 
     fsize = _os.path.getsize(path)
     data = big_empty(max(fsize, 1))
-    with open(path, "rb", buffering=0) as fh:
-        got_in = fh.readinto(memoryview(data[:fsize]))
+    from .direct import read_file_into
+
+    got_in = read_file_into(path, data[:fsize])
     if got_in != fsize:
         return None
     cap = max(fsize * 4, 1 << 20)

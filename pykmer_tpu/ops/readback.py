@@ -187,12 +187,21 @@ def fetch_array_mt(
         return out
     bounds = list(range(0, rows, rows_per)) + [rows]
 
-    def work(i: int) -> None:
-        lo, hi = bounds[i], bounds[i + 1]
-        out[lo:hi] = np.asarray(dev[lo:hi])
+    from ..utils.keepalive import keepalive_suspended
 
-    with ThreadPoolExecutor(threads) as ex:
-        list(ex.map(work, range(len(bounds) - 1)))
+    with keepalive_suspended():
+        parts = [dev[bounds[i] : bounds[i + 1]] for i in range(len(bounds) - 1)]
+        for p in parts:
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                break
+
+        def work(i: int) -> None:
+            out[bounds[i] : bounds[i + 1]] = np.asarray(parts[i])
+
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(work, range(len(bounds) - 1)))
     return out
 
 
@@ -302,6 +311,23 @@ def _pick_mode(dense: jax.Array, size: int, mode: str) -> str:
     return "raw2d" if costs[mode] > size else mode
 
 
+def _gather_escapes(dense: jax.Array, esc_idx: np.ndarray) -> np.ndarray:
+    """One batched device gather of the true values at folded indices
+    ``esc_idx``. A single round trip replaces the per-slice gathers that
+    used to queue behind the plane transfers and serialize the whole tail
+    (indices padded to a power of two to bound compiled gather shapes)."""
+    n = esc_idx.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    padded = 1 << max(n - 1, 1).bit_length()
+    idx = np.zeros(padded, dtype=np.int64)
+    idx[:n] = esc_idx
+    rows_d = jnp.asarray((idx // _PACK_LANES).astype(np.int32))
+    cols_d = jnp.asarray((idx % _PACK_LANES).astype(np.int32))
+    vals = np.asarray(_gather_cells(dense, rows_d, cols_d))
+    return vals[:n]
+
+
 def stream_dense_to_out(
     dense: jax.Array,
     kmer_len: int,
@@ -345,54 +371,69 @@ def stream_dense_to_out(
     cells_per_row = _PACK_LANES
     rows, row_bytes = packed.shape
     rows_per = max(1, slice_bytes // max(row_bytes, 1))
+    if rows_per >= 16:
+        rows_per &= ~15
     bounds = list(range(0, rows, rows_per)) + [rows]
+    n_slices = len(bounds) - 1
+
+    from ..utils.keepalive import keepalive_suspended
 
     full = out.shape[0]
-    # cumulative per-phase seconds across workers (diagnostics; printed by
-    # the indexer when PYKMER_TPU_STAGE_TIMING is set)
-    phase_s = {"d2h": 0.0, "escape": 0.0, "cpu": 0.0, "pwrite": 0.0}
-
-    def work(i: int) -> np.ndarray:
-        import time as _time
-
-        rlo, rhi = bounds[i], bounds[i + 1]
-        t0 = _time.monotonic()
-        buf = np.asarray(packed[rlo:rhi])
-        t1 = _time.monotonic()
-        folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
-        lo = rlo * cells_per_row
-        t2 = _time.monotonic()
-        if escape is not None:
-            esc_local = np.flatnonzero(folded_slice == escape)
-            n = esc_local.shape[0]
-            if n:
-                padded = 1 << max(n - 1, 1).bit_length()
-                idx = np.zeros(padded, dtype=np.int64)
-                idx[:n] = esc_local + lo
-                rows_d = jnp.asarray((idx // _PACK_LANES).astype(np.int32))
-                cols_d = jnp.asarray((idx % _PACK_LANES).astype(np.int32))
-                vals = np.asarray(_gather_cells(dense, rows_d, cols_d))
-                folded_slice[esc_local] = vals[:n]
-        t3 = _time.monotonic()
-        counts = fast_counts256(folded_slice)
-        unfold_range(folded_slice, out, kmer_len, lo)
-        t4 = _time.monotonic()
-        if fd is not None:
-            hi = lo + folded_slice.shape[0]
-            # forward region [lo, hi) and its mirror [full-hi, full-lo)
-            _pwrite_all(fd, out[lo:hi], lo)
-            _pwrite_all(fd, out[full - hi : full - lo], full - hi)
-        t5 = _time.monotonic()
-        phase_s["d2h"] += t1 - t0
-        phase_s["escape"] += t3 - t2
-        phase_s["cpu"] += (t2 - t1) + (t4 - t3)
-        phase_s["pwrite"] += t5 - t4
-        return counts
-
+    phase_s = {"d2h": 0.0, "cpu": 0.0}
+    esc_lists: list = [None] * n_slices
     totals = np.zeros(256, dtype=np.int64)
-    with ThreadPoolExecutor(threads) as ex:
-        for c in ex.map(work, range(len(bounds) - 1)):
-            totals += c
+
+    with keepalive_suspended():
+        # enqueue every slice transfer up front: the runtime streams them
+        # back-to-back over the tunnel while workers chew on arrived slices
+        # (CPU work no longer gates the link, and nothing else sits in the
+        # device queue between transfers)
+        parts = [packed[bounds[i] : bounds[i + 1]] for i in range(n_slices)]
+        for p in parts:
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                break
+
+        def work(i: int) -> np.ndarray:
+            import time as _time
+
+            rlo = bounds[i]
+            t0 = _time.monotonic()
+            buf = np.asarray(parts[i])
+            t1 = _time.monotonic()
+            folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
+            lo = rlo * cells_per_row
+            if escape is not None:
+                esc_local = np.flatnonzero(folded_slice == escape)
+                if esc_local.shape[0]:
+                    esc_lists[i] = esc_local + lo
+            counts = fast_counts256(folded_slice)
+            unfold_range(folded_slice, out, kmer_len, lo)
+            t2 = _time.monotonic()
+            phase_s["d2h"] += t1 - t0
+            phase_s["cpu"] += t2 - t1
+            return counts
+
+        with ThreadPoolExecutor(threads) as ex:
+            for c in ex.map(work, range(n_slices)):
+                totals += c
+
+        # one batched gather patches every escape cell (folded index u lands
+        # at the canonical member of {u, M-u} in the unfolded plane)
+        esc_all = [e for e in esc_lists if e is not None]
+        if esc_all:
+            esc_idx = np.concatenate(esc_all)
+            vals = _gather_escapes(dense, esc_idx)
+            u = esc_idx.astype(np.uint64)
+            rc = _rc_codes_np(u, kmer_len)
+            pos = np.where(u <= rc, u, np.uint64(full - 1) - u)
+            out[pos] = vals
+            totals[escape] -= esc_idx.shape[0]
+            totals += np.bincount(vals, minlength=256)
+
+    if fd is not None:
+        _pwrite_all(fd, out, 0)
     if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
         import sys
 
@@ -405,8 +446,15 @@ def stream_dense_to_out(
     return totals
 
 
-def _pwrite_all(fd: int, arr: np.ndarray, offset: int) -> None:
-    """Positional write of a contiguous uint8 array (loops on short writes)."""
+def _pwrite_all(fd, arr: np.ndarray, offset: int) -> None:
+    """Positional write of a contiguous uint8 array (loops on short writes).
+
+    ``fd`` may be a raw file descriptor or an ``io.direct.DirectWriter``
+    (whose O_DIRECT path skips this environment's ~13 MB/s page-cache
+    allocation entirely)."""
+    if hasattr(fd, "pwrite"):
+        fd.pwrite(arr, offset)
+        return
     view = memoryview(arr)
     pos = offset
     while len(view):

@@ -23,6 +23,29 @@ from typing import Iterator
 
 _INTERVAL_S = 0.2
 
+# suspension: bulk readbacks pause the pulse (a tiny round trip queued among
+# large pipelined slice transfers stalls them — the cure must not outcost
+# the disease). Nesting-counted so overlapping fetches compose.
+_suspend_lock = threading.Lock()
+_suspend_depth = 0
+
+
+@contextlib.contextmanager
+def keepalive_suspended() -> Iterator[None]:
+    """Pause the keepalive pulse while a bulk d2h transfer runs."""
+    global _suspend_depth
+    with _suspend_lock:
+        _suspend_depth += 1
+    try:
+        yield
+    finally:
+        with _suspend_lock:
+            _suspend_depth -= 1
+
+
+def _suspended() -> bool:
+    return _suspend_depth > 0
+
 
 @contextlib.contextmanager
 def d2h_keepalive(interval_s: float = _INTERVAL_S) -> Iterator[None]:
@@ -54,10 +77,11 @@ def d2h_keepalive(interval_s: float = _INTERVAL_S) -> Iterator[None]:
 
     def pulse() -> None:
         while not stop.is_set():
-            try:
-                np.asarray(tick + 1)
-            except Exception:
-                return
+            if not _suspended():
+                try:
+                    np.asarray(tick + 1)
+                except Exception:
+                    return
             stop.wait(interval_s)
 
     thread = threading.Thread(target=pulse, daemon=True, name="d2h-keepalive")
