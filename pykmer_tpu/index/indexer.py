@@ -69,7 +69,12 @@ def _concat_records(
     return stream, chromosomes, total_bp
 
 
-def _load_joined_stream(input_file: str, kmer_len: int, raw_out: Optional[dict] = None):
+def _load_joined_stream(
+    input_file: str,
+    kmer_len: int,
+    raw_out: Optional[dict] = None,
+    tail_headroom: int = 0,
+):
     """FASTA → (joined code stream, chromosomes, total_bp).
 
     Native one-pass path (decode + separator-join + valid-run detection in
@@ -86,7 +91,9 @@ def _load_joined_stream(input_file: str, kmer_len: int, raw_out: Optional[dict] 
     try:
         from ..io.native import fasta_decode_joined_native
 
-        result = fasta_decode_joined_native(data, kmer_len)
+        result = fasta_decode_joined_native(
+            data, kmer_len, tail_headroom=tail_headroom
+        )
         if result is not None:
             return result
     except ImportError:
@@ -134,7 +141,8 @@ def create_fasta_index(
     raw: dict = {}
     with stages.stage("fasta decode + join"):
         stream, chromosomes, total_bp = _load_joined_stream(
-            input_file, kmer_len, raw_out=raw
+            input_file, kmer_len, raw_out=raw,
+            tail_headroom=config.chunk_windows + kmer_len,
         )
 
     # input checksum in a background thread (hashlib releases the GIL):
@@ -174,7 +182,10 @@ def create_fasta_index(
 
     tmp = header.index_tmp_file
     with d2h_keepalive():
-        padded, n_chunks = chunk_stream(stream, kmer_len, config.chunk_windows)
+        with stages.stage("chunk framing"):
+            padded, n_chunks = chunk_stream(
+                stream, kmer_len, config.chunk_windows
+            )
         with stages.stage("device accumulate"):
             if strategy == "device":
                 # folded counts stay ON DEVICE; the tail streams them out
@@ -188,6 +199,10 @@ def create_fasta_index(
                 )
         if num_kmers == 0:
             raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+        # the code stream is fully consumed (num_kmers sync drained the
+        # dispatch queue) — release its pooled block before the output
+        # plane allocates, so the pool can hand it straight back
+        del padded, stream
         if total_bp >= PRINT_EVERY:
             timer.update(total_bp)
 
@@ -213,18 +228,39 @@ def create_fasta_index(
 
             from ..io.direct import DirectWriter
 
+            import time as _t0mod
+
+            _ta = _t0mod.monotonic()
             out = big_empty(data_size)
+            _tb = _t0mod.monotonic()
+            if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+                import sys as _sys
+
+                print(f"  out alloc: {_tb - _ta:8.1f}s", file=_sys.stderr)
             with DirectWriter(tmp, size=data_size) as fd:
                 if isinstance(folded, np.ndarray):
                     counts = fast_counts256(folded).copy()
                     unfold_canonical(folded, kmer_len, out=out)
-                    _pwrite_all(fd, out, 0)
                 else:
                     counts = stream_dense_to_out(
-                        folded, kmer_len, out, mode=config.readback, fd=fd
+                        folded, kmer_len, out, mode=config.readback
                     ).copy()
                 counts[0] += data_size // 2
+                # O_DIRECT bulk write and sha256 both stream the finished
+                # RAM plane — run them concurrently (hashlib releases the
+                # GIL on large updates)
+                import time as _t
+
+                _tw = _t.monotonic()
+                wt = threading.Thread(target=_pwrite_all, args=(fd, out, 0))
+                wt.start()
                 output_ck = hashlib.sha256(out).hexdigest()
+                wt.join()
+                if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+                    import sys as _sys
+
+                    print(f"  write+hash: {_t.monotonic() - _tw:8.1f}s",
+                          file=_sys.stderr)
             del out
     with stages.stage("metadata"):
         ck_thread.join()

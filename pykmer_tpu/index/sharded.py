@@ -73,7 +73,9 @@ def create_fasta_index_sharded(
         kinfmt.remove_outputs(input_file, kmer_len, overwrite)
 
     timer = header.timer
-    stream, chromosomes, total_bp = _load_joined_stream(input_file, kmer_len)
+    stream, chromosomes, total_bp = _load_joined_stream(
+        input_file, kmer_len, tail_headroom=config.chunk_windows + kmer_len
+    )
     if total_bp >= PRINT_EVERY:
         timer.update(total_bp)
 

@@ -292,14 +292,18 @@ _lib.fasta_decode_joined_mt.argtypes = _lib.fasta_decode_joined.argtypes + [
 ]
 
 
-def fasta_decode_joined_native(data, kmer_len: int, threads: int = 8):
+def fasta_decode_joined_native(
+    data, kmer_len: int, threads: int = 8, tail_headroom: int = 0
+):
     """One-pass parse into the indexer's joined stream.
 
     ``data``: bytes or uint8 ndarray (e.g. a readonly mmap of the input —
     zero-copy). Returns (stream_codes, chromosomes, total_bp) where
     chromosomes lists (name, seq_len) for records with at least one valid
     k-mer window — reference indexer.py:345-351 semantics — or None on
-    overflow.
+    overflow. ``tail_headroom`` over-allocates the stream's pooled block so
+    downstream framing (ops.encode.chunk_stream padding) can extend the
+    buffer in place instead of copying into a fresh block.
     """
     n = len(data)
     if isinstance(data, np.ndarray):
@@ -311,7 +315,7 @@ def fasta_decode_joined_native(data, kmer_len: int, threads: int = 8):
     max_recs = (int(count256_native(buf)[ord(">")]) if n else 0) + 1
     from ..utils.bigmem import big_empty
 
-    codes = big_empty(n + max_recs * (kmer_len - 1))
+    codes = big_empty(n + max_recs * (kmer_len - 1) + tail_headroom)
     # the MT path stages per-thread output in `codes` itself (in-place
     # compaction in the native layer): a separate malloc'd arena would pay
     # this environment's slow first-touch faults, and even a pooled second

@@ -110,8 +110,18 @@ def chunk_stream(
     n_chunks = max((n_windows + chunk_windows - 1) // chunk_windows, 1)
     need = n_chunks * chunk_windows + k - 1
     if need > n:
-        pad = np.full(need - n, 4, dtype=np.uint8)
-        concat_codes = np.concatenate([concat_codes, pad])
+        # pad in place when the stream's pooled block has tail capacity
+        # (the decode path over-allocates for exactly this; a fresh
+        # GiB-scale block would pay this environment's slow populate)
+        from ..utils.bigmem import extend_view
+
+        ext = extend_view(concat_codes, need)
+        if ext is None:
+            pad = np.full(need - n, 4, dtype=np.uint8)
+            concat_codes = np.concatenate([concat_codes, pad])
+        else:
+            ext[n:need] = 4
+            concat_codes = ext
     return concat_codes, n_chunks
 
 

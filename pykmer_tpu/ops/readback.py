@@ -39,7 +39,7 @@ ESCAPE4 = 15
 ESCAPE3 = 7
 ESCAPE2 = 3
 _PACK_LANES = 256
-SLICE_BYTES = 16 << 20
+SLICE_BYTES = 4 << 20
 FETCH_THREADS = 16
 
 
@@ -349,9 +349,13 @@ def stream_dense_to_out(
     Returns the exact 256-bin counts of the folded plane (int64[256])."""
     from ..formats.header import fast_counts256
 
+    import time as _t
+
     size = int(np.prod(dense.shape))
     assert out.shape[0] == 2 * size and out.dtype == np.uint8
+    _t0 = _t.monotonic()
     mode = _pick_mode(dense, size, mode)
+    _t_pick = _t.monotonic() - _t0
 
     if mode == "raw":
         folded = fetch_dense(dense, mode="raw")
@@ -360,6 +364,7 @@ def stream_dense_to_out(
             _pwrite_all(fd, out, 0)
         return fast_counts256(folded)
 
+    _t0 = _t.monotonic()
     if mode == "raw2d":
         packed, unpack, escape = _as2d(dense), None, None
     elif mode == "2bit":
@@ -368,6 +373,11 @@ def stream_dense_to_out(
         packed, unpack, escape = pack_3bit(dense), unpack_3bit, ESCAPE3
     else:
         packed, unpack, escape = pack_nibbles(dense), unpack_nibbles, ESCAPE4
+    try:
+        packed.block_until_ready()
+    except AttributeError:
+        pass
+    _t_pack = _t.monotonic() - _t0
     cells_per_row = _PACK_LANES
     rows, row_bytes = packed.shape
     rows_per = max(1, slice_bytes // max(row_bytes, 1))
@@ -384,43 +394,57 @@ def stream_dense_to_out(
     totals = np.zeros(256, dtype=np.int64)
 
     with keepalive_suspended():
+        import time as _time
+
         # enqueue every slice transfer up front: the runtime streams them
-        # back-to-back over the tunnel while workers chew on arrived slices
-        # (CPU work no longer gates the link, and nothing else sits in the
-        # device queue between transfers)
+        # back-to-back over the tunnel
+        _te = _time.monotonic()
         parts = [packed[bounds[i] : bounds[i + 1]] for i in range(n_slices)]
         for p in parts:
             try:
                 p.copy_to_host_async()
             except AttributeError:
                 break
+        phase_s["enq"] = _time.monotonic() - _te
+
+        # phase 1 — drain transfers with the CPUs idle. The tunnel transport
+        # runs in-process and is CPU-bound (TLS/protobuf on a 2-core host):
+        # concurrent unpack/unfold work starves it to ~1/10th bandwidth, so
+        # host-side processing waits until the link is drained.
+        bufs: list = [None] * n_slices
+        t0 = _time.monotonic()
+
+        def drain(i: int) -> None:
+            bufs[i] = np.asarray(parts[i])
+
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(drain, range(n_slices)))
+        del parts
+        phase_s["d2h"] = _time.monotonic() - t0
+
+        # phase 2 — unpack + escape scan + stats + unfold on all cores
+        t0 = _time.monotonic()
 
         def work(i: int) -> np.ndarray:
-            import time as _time
-
-            rlo = bounds[i]
-            t0 = _time.monotonic()
-            buf = np.asarray(parts[i])
-            t1 = _time.monotonic()
+            buf, bufs[i] = bufs[i], None
             folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
-            lo = rlo * cells_per_row
+            lo = bounds[i] * cells_per_row
             if escape is not None:
                 esc_local = np.flatnonzero(folded_slice == escape)
                 if esc_local.shape[0]:
                     esc_lists[i] = esc_local + lo
             counts = fast_counts256(folded_slice)
             unfold_range(folded_slice, out, kmer_len, lo)
-            t2 = _time.monotonic()
-            phase_s["d2h"] += t1 - t0
-            phase_s["cpu"] += t2 - t1
             return counts
 
-        with ThreadPoolExecutor(threads) as ex:
+        with ThreadPoolExecutor(min(threads, 8)) as ex:
             for c in ex.map(work, range(n_slices)):
                 totals += c
+        phase_s["cpu"] = _time.monotonic() - t0
 
         # one batched gather patches every escape cell (folded index u lands
         # at the canonical member of {u, M-u} in the unfolded plane)
+        t0 = _t.monotonic()
         esc_all = [e for e in esc_lists if e is not None]
         if esc_all:
             esc_idx = np.concatenate(esc_all)
@@ -431,6 +455,9 @@ def stream_dense_to_out(
             out[pos] = vals
             totals[escape] -= esc_idx.shape[0]
             totals += np.bincount(vals, minlength=256)
+        phase_s["patch"] = _t.monotonic() - t0
+        phase_s["pick"] = _t_pick
+        phase_s["pack"] = _t_pack
 
     if fd is not None:
         _pwrite_all(fd, out, 0)
@@ -461,6 +488,28 @@ def _pwrite_all(fd, arr: np.ndarray, offset: int) -> None:
         n = os.pwrite(fd, view, pos)
         view = view[n:]
         pos += n
+
+
+def preload_programs(kmer_len: int, dense_shape=None) -> None:
+    """Load every readback device program for a K-sized folded plane.
+
+    TPU executables load lazily at first call; over tunneled links a load
+    costs seconds-to-minutes (∝ executable size). Long-running services and
+    benchmarks call this once up front — with a zeros dummy plane — so the
+    first real indexing run pays no in-band load, whichever pack mode the
+    data later selects."""
+    fold_size = 4**kmer_len // 2
+    if dense_shape is None:
+        dense_shape = (
+            (fold_size // 128, 128) if fold_size % 128 == 0 else (fold_size,)
+        )
+    if int(np.prod(dense_shape)) % _PACK_LANES:
+        return
+    dummy = jnp.zeros(dense_shape, dtype=jnp.uint8)
+    jax.block_until_ready(count_all_escapes(dummy))
+    for fn in (pack_2bit, pack_3bit, pack_nibbles):
+        jax.block_until_ready(fn(dummy))
+    del dummy
 
 
 def fetch_dense(dense: jax.Array, mode: str = "auto") -> np.ndarray:

@@ -125,6 +125,32 @@ def big_empty(shape: Union[int, Tuple[int, ...]], dtype=np.uint8) -> np.ndarray:
     return np.frombuffer(m, dtype=dtype, count=count).reshape(shape)
 
 
+def extend_view(arr: np.ndarray, count: int):
+    """Re-view a ``big_empty``-backed contiguous array as a longer one (same
+    dtype, same start address) if its underlying pooled block has capacity.
+
+    Returns the longer array (extra elements uninitialised) or ``None`` when
+    the array is not pool-backed, is an offset view, or the block is too
+    small. Lets callers append framing/padding in place instead of paying a
+    full copy into a fresh block (GiB-scale populates are slow here)."""
+    base = arr
+    while isinstance(base, np.ndarray):
+        if base.ctypes.data != arr.ctypes.data or not base.flags.c_contiguous:
+            return None
+        base = base.base
+    # numpy wraps the pool mmap in a memoryview; accept either form
+    if isinstance(base, memoryview):
+        cap = base.nbytes
+    elif isinstance(base, mmap.mmap):
+        cap = len(base)
+    else:
+        return None
+    nbytes = count * arr.dtype.itemsize
+    if cap < nbytes:
+        return None
+    return np.frombuffer(base, dtype=arr.dtype, count=count)
+
+
 def big_zeros(shape, dtype=np.uint8) -> np.ndarray:
     """Zero-filled variant (fresh anonymous pages are already zero)."""
     if isinstance(shape, int):
