@@ -75,7 +75,9 @@ def main() -> None:
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    cfg = IndexConfig(kmer_len=kmer_len)
+    cw = os.environ.get("BENCH_CHUNK_WINDOWS")
+    cfg = IndexConfig(kmer_len=kmer_len,
+                      **({"chunk_windows": int(cw)} if cw else {}))
     # one warmup on a small slice to exclude XLA compile time (cached later
     # runs would not pay it either)
     warm = os.path.join(bench_dir, "warm.fa")
@@ -85,11 +87,13 @@ def main() -> None:
         create_fasta_index(path, "warm", path, kmer_len, overwrite=True,
                            config=cfg, verify=False, verbose=False)
 
-    # load every readback device program up front (executable loads over
-    # tunneled links cost seconds-to-minutes; a service pays them once)
+    # load every device program up front (executable loads over tunneled
+    # links cost seconds-to-minutes; a service pays them once)
+    from pykmer_tpu.index.indexer import preload_index_programs
     from pykmer_tpu.ops.readback import preload_programs
 
     preload_programs(kmer_len)
+    preload_index_programs(kmer_len, cfg)
 
     # host arena prewarm (also one-time per process): fault in the pool
     # blocks the main run will reuse for the input bytes and the decoded

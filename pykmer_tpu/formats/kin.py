@@ -106,14 +106,14 @@ def iter_kin_blocks(
     if not path.endswith("." + COMP_EXT):
         # raw plane: O_DIRECT positional reads into pooled buffers (buffered
         # reads pay this environment's slow page-cache allocation)
-        from ..io.direct import DirectReader
+        from ..io.direct import DirectReader, pread_into_mt
         from ..utils.bigmem import big_empty
 
         with DirectReader(path) as rd:
             while total < data_size:
                 want = min(block_size, data_size - total)
                 buf = big_empty(want)
-                got = rd.pread_into(buf, total)
+                got = pread_into_mt(rd, buf, total)
                 if got != want:
                     raise IOError(
                         f"{path}: short read at offset {total}: got {got}, "

@@ -308,33 +308,35 @@ def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bo
 
 
 @functools.lru_cache(maxsize=None)
-def _make_device_step(kmer_len: int, span: int, use_pallas: bool):
+def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
+                      masked: bool = True):
     """Module-level cache of the jitted per-chunk step.
 
-    One compiled executable per (K, chunk span, kernel) — ever. A fresh
-    ``jax.jit`` closure per indexing run would recompile: after the first
-    donated call the dense array carries the Pallas output's device layout,
-    which a new closure bakes into a *different* HLO/cache key, and XLA
-    compiles through this environment's tunnel run to ~80 s regardless of
+    One compiled executable per (K, chunk span, kernel, masked) — ever. A
+    fresh ``jax.jit`` closure per indexing run would recompile: after the
+    first donated call the dense array carries the Pallas output's device
+    layout, which a new closure bakes into a *different* HLO/cache key, and
+    XLA compiles through this environment's tunnel run to ~80 s regardless of
     program size. Reusing the function object skips all of that (the runtime
-    accepts the relaid-out donated input without recompiling)."""
+    accepts the relaid-out donated input without recompiling).
+
+    ``masked=False`` is the all-valid variant: chunks with no Ns, record
+    separators, or padding skip the validity-bitmap upload (1 bit/base) and
+    dispatch here."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import canonical_codes, fold_codes, unpack_base_2bit_mask
+    from ..ops.encode import (
+        canonical_codes,
+        fold_codes,
+        unpack_base_2bit,
+        unpack_base_2bit_mask,
+    )
     from ..ops.histogram import saturating_accumulate
 
     fold_size = 4**kmer_len // 2
 
-    def step(dense, nk, bases2, maskbits):
-        # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base of
-        # upload); the unpack fuses into the encode
-        codes = fold_codes(
-            canonical_codes(
-                unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
-            ),
-            kmer_len,
-        )
+    def tail(dense, nk, codes):
         if use_pallas:
             from ..ops.pallas_hist import accumulate_sorted_pallas
 
@@ -347,7 +349,58 @@ def _make_device_step(kmer_len: int, span: int, use_pallas: bool):
             dense = flat.reshape(dense.shape)
         return dense, nk + nvalid
 
+    if masked:
+
+        def step(dense, nk, bases2, maskbits):
+            # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base
+            # of upload); the unpack fuses into the encode
+            codes = fold_codes(
+                canonical_codes(
+                    unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+                ),
+                kmer_len,
+            )
+            return tail(dense, nk, codes)
+
+    else:
+
+        def step(dense, nk, bases2):
+            # all-valid chunk: 0.25 B/base of upload, no mask
+            codes = fold_codes(
+                canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
+                kmer_len,
+            )
+            return tail(dense, nk, codes)
+
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
+    """Load both per-chunk step executables (masked + all-valid) up front.
+
+    TPU executables load lazily at first dispatch; over tunneled links a
+    load costs seconds-to-minutes. Services/benchmarks call this once (with
+    ops.readback.preload_programs) so no real run pays an in-band load —
+    notably the all-valid step, which only triggers on chunks without
+    Ns/separators and so would otherwise load mid-pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    config = config or IndexConfig(kmer_len=kmer_len)
+    fold_size = 4**kmer_len // 2
+    use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
+    span = config.chunk_windows + kmer_len - 1
+    step = _make_device_step(kmer_len, span, use_pallas)
+    step_av = _make_device_step(kmer_len, span, use_pallas, masked=False)
+    shape = (fold_size // 128, 128) if fold_size % 128 == 0 else (fold_size,)
+    dense = jnp.zeros(shape, dtype=jnp.uint8)
+    nk = jnp.zeros((), dtype=jnp.int64)
+    bases = jnp.zeros(((span + 3) // 4,), dtype=jnp.uint8)
+    mask = jnp.zeros(((span + 7) // 8,), dtype=jnp.uint8)
+    dense, nk = step(dense, nk, bases, mask)
+    dense, nk = step_av(dense, nk, bases)
+    jax.block_until_ready((dense, nk))
+    del dense, nk
 
 
 def _accumulate_device(
@@ -377,6 +430,7 @@ def _accumulate_device(
     # fetched once at the end — any mid-stream sync stalls the pipeline
     # (and costs seconds over tunneled hosts)
     step_jit = _make_device_step(kmer_len, span, use_pallas)
+    step_av_jit = _make_device_step(kmer_len, span, use_pallas, masked=False)
 
     from ..utils.profiling import StageTimer
 
@@ -392,9 +446,12 @@ def _accumulate_device(
         for bases2, maskbits in iter_chunks_packed_lazy(
             padded, kmer_len, config.chunk_windows, n_chunks
         ):
-            dense, nk = step_jit(
-                dense, nk, jnp.asarray(bases2), jnp.asarray(maskbits)
-            )
+            if maskbits is None:
+                dense, nk = step_av_jit(dense, nk, jnp.asarray(bases2))
+            else:
+                dense, nk = step_jit(
+                    dense, nk, jnp.asarray(bases2), jnp.asarray(maskbits)
+                )
             done_windows += config.chunk_windows
             if verbose and n_chunks > 1:
                 print(f"  dispatched windows {done_windows:15,d}")
@@ -426,6 +483,7 @@ def _accumulate_host(
     span = config.chunk_windows + kmer_len - 1
     fold_size = data_size // 2
     encode_jit = _make_encode_sort(kmer_len, span)
+    encode_av_jit = _make_encode_sort(kmer_len, span, masked=False)
 
     from ..utils.bigmem import big_zeros
 
@@ -435,7 +493,9 @@ def _accumulate_host(
         padded, kmer_len, config.chunk_windows, n_chunks
     ):
         sorted_codes = np.asarray(
-            encode_jit(jnp.asarray(bases2), jnp.asarray(maskbits))
+            encode_av_jit(jnp.asarray(bases2))
+            if maskbits is None
+            else encode_jit(jnp.asarray(bases2), jnp.asarray(maskbits))
         )
         valid = sorted_codes[sorted_codes < fold_size]
         num_kmers += int(valid.shape[0])
@@ -448,21 +508,37 @@ def _accumulate_host(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_encode_sort(kmer_len: int, span: int):
+def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
     """Jitted encode+sort for the host strategy — cached like _make_device_step."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode import canonical_codes, fold_codes, unpack_base_2bit_mask
+    from ..ops.encode import (
+        canonical_codes,
+        fold_codes,
+        unpack_base_2bit,
+        unpack_base_2bit_mask,
+    )
 
-    def encode_sort(bases2, maskbits):
-        codes = fold_codes(
-            canonical_codes(
-                unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
-            ),
-            kmer_len,
-        )
-        return jnp.sort(codes)
+    if masked:
+
+        def encode_sort(bases2, maskbits):
+            codes = fold_codes(
+                canonical_codes(
+                    unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
+                ),
+                kmer_len,
+            )
+            return jnp.sort(codes)
+
+    else:
+
+        def encode_sort(bases2):
+            codes = fold_codes(
+                canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
+                kmer_len,
+            )
+            return jnp.sort(codes)
 
     return jax.jit(encode_sort)
 

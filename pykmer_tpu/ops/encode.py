@@ -160,6 +160,19 @@ def pack_base_stream(padded: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         return bases, mask.reshape(-1)
 
 
+def mask_all_valid(mask: np.ndarray, span: int) -> bool:
+    """True iff the first ``span`` validity bits are all set — the chunk has
+    no Ns, no record separators, no tail padding."""
+    full = span // 8
+    if full and not (mask[:full] == 0xFF).all():
+        return False
+    rem = span % 8
+    if rem:
+        want = (1 << rem) - 1
+        return (int(mask[full]) & want) == want
+    return True
+
+
 def iter_chunks_packed(
     packed: Tuple[np.ndarray, np.ndarray],
     kmer_len: int,
@@ -192,9 +205,27 @@ def iter_chunks_packed_lazy(
     span = chunk_windows + kmer_len - 1
     b_span = (span + 3) // 4
     m_span = (span + 7) // 8
-    for piece in iter_chunks(padded, kmer_len, chunk_windows, n_chunks):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def pack_one(piece):
         bases, mask = pack_base_stream(piece)
-        yield bases[:b_span], mask[:m_span]
+        mask = mask[:m_span]
+        # all-valid chunks (no Ns / separators / padding — the common case
+        # for chromosome-scale records) skip the mask upload entirely; the
+        # indexer dispatches them to the mask-free device step
+        return bases[:b_span], (None if mask_all_valid(mask, span) else mask)
+
+    # one pack kept in flight: chunk i+1 packs (native, GIL-free) while the
+    # consumer dispatches chunk i's upload + device step
+    with ThreadPoolExecutor(1) as ex:
+        fut = None
+        for piece in iter_chunks(padded, kmer_len, chunk_windows, n_chunks):
+            nxt = ex.submit(pack_one, piece)
+            if fut is not None:
+                yield fut.result()
+            fut = nxt
+        if fut is not None:
+            yield fut.result()
 
 
 def unpack_base_2bit_mask(
@@ -207,3 +238,9 @@ def unpack_base_2bit_mask(
     shifts1 = jnp.arange(8, dtype=jnp.uint8)
     v = ((mask[:, None] >> shifts1) & 1).reshape(-1)[:span]
     return jnp.where(v == 1, b, jnp.uint8(4))
+
+
+def unpack_base_2bit(bases: "jax.Array", span: int) -> "jax.Array":
+    """Mask-free variant for all-valid chunks (see mask_all_valid)."""
+    shifts2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)
+    return ((bases[:, None] >> shifts2) & 3).reshape(-1)[:span]

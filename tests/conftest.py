@@ -32,12 +32,16 @@ def rng():
 
 
 def make_random_fasta(path, rng, n_records=3, lengths=(50, 200, 120), n_rate=0.05,
-                      line_width=17, gzip_out=False):
+                      line_width=17, gzip_out=False, with_n=True):
     """Random-sequence fixture with Ns, lowercase, odd line widths."""
     import gzip as _gzip
 
-    alphabet = np.array(list("ACGTacgtN"), dtype="U1")
-    probs = np.array([1, 1, 1, 1, 0.3, 0.3, 0.3, 0.3, 0.6])
+    if with_n:
+        alphabet = np.array(list("ACGTacgtN"), dtype="U1")
+        probs = np.array([1, 1, 1, 1, 0.3, 0.3, 0.3, 0.3, 0.6])
+    else:
+        alphabet = np.array(list("ACGTacgt"), dtype="U1")
+        probs = np.array([1, 1, 1, 1, 0.3, 0.3, 0.3, 0.3])
     probs = probs / probs.sum()
     out = []
     for i in range(n_records):

@@ -118,3 +118,45 @@ def test_read_fasta_index(tmp_path, rng):
     create_fasta_index(fasta, "s", fasta, 3, verbose=False)
     header = read_fasta_index(fasta, input_file=fasta, kmer_len=3, verbose=False)
     assert header.num_kmers > 0
+
+
+def test_indexer_all_valid_chunks_match_oracle(tmp_path, rng):
+    """A clean single-record genome (no Ns) with multi-chunk framing routes
+    interior chunks through the mask-free all-valid device step — the output
+    must stay byte-identical to the oracle (which knows nothing of chunks)."""
+    from pykmer_tpu.ops.encode import mask_all_valid, pack_base_stream
+
+    fasta = make_random_fasta(str(tmp_path / "clean.fa"), rng, n_records=1,
+                              lengths=(5000,), with_n=False)
+    kmer_len = 5
+    # chunk_windows=1000 -> 5 chunks; all but the padded tail are all-valid
+    cfg = IndexConfig(kmer_len=kmer_len, chunk_windows=1000)
+    header = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg,
+                                verbose=False)
+    root = header.index_file_root
+    ours_kin = _file_bytes(root)
+    ours_meta = json.load(open(header.metadata_file))
+    os.rename(root, root + ".ours")
+    os.remove(header.metadata_file)
+
+    oracle_write_index(fasta, fasta, kmer_len)
+    assert _file_bytes(root) == ours_kin
+    oracle_meta = json.load(open(header.metadata_file))
+    assert ours_meta["num_kmers"] == oracle_meta["num_kmers"]
+    assert ours_meta["hist"] == oracle_meta["hist"]
+
+
+def test_mask_all_valid_edges():
+    from pykmer_tpu.ops.encode import mask_all_valid
+
+    full = np.full(4, 0xFF, dtype=np.uint8)
+    assert mask_all_valid(full, 32)
+    assert mask_all_valid(full, 29)  # partial tail byte, bits set
+    broken = full.copy()
+    broken[3] = 0xEF  # bit 28 clear
+    assert not mask_all_valid(broken, 32)
+    assert not mask_all_valid(broken, 29)
+    assert mask_all_valid(broken, 28)  # clear bit is beyond span
+    tail = np.array([0xFF, 0x0F], dtype=np.uint8)
+    assert mask_all_valid(tail, 12)
+    assert not mask_all_valid(tail, 13)
