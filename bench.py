@@ -88,12 +88,15 @@ def main() -> None:
                            config=cfg, verify=False, verbose=False)
 
     # load every device program up front (executable loads over tunneled
-    # links cost seconds-to-minutes; a service pays them once)
-    from pykmer_tpu.index.indexer import preload_index_programs
-    from pykmer_tpu.ops.readback import preload_programs
+    # links cost seconds-to-minutes; a service pays them once). Only the
+    # device accumulate strategy (dense plane fits HBM, K <= 15) uses these;
+    # larger K takes the host strategy whose programs the warm run loads.
+    if 4 ** kmer_len <= (4 << 30):
+        from pykmer_tpu.index.indexer import preload_index_programs
+        from pykmer_tpu.ops.readback import preload_programs
 
-    preload_programs(kmer_len)
-    preload_index_programs(kmer_len, cfg)
+        preload_programs(kmer_len)
+        preload_index_programs(kmer_len, cfg)
 
     # host arena prewarm (also one-time per process): fault in the pool
     # blocks the main run will reuse for the input bytes and the decoded

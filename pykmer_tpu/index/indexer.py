@@ -82,9 +82,13 @@ def _load_joined_stream(
     (tested). When ``raw_out`` is given and the input is a plain (not
     compressed) file, ``raw_out["bytes"]`` receives the raw file buffer so
     the caller can checksum it from memory instead of re-reading the file."""
+    import time as _t
+
     from ..io.fasta import open_input_bytes
 
+    _t0 = _t.monotonic()
     data = open_input_bytes(input_file)
+    _t1 = _t.monotonic()
     if raw_out is not None and input_file is not None \
             and not input_file.endswith((".gz", ".bgz")):
         raw_out["bytes"] = data
@@ -95,6 +99,14 @@ def _load_joined_stream(
             data, kmer_len, tail_headroom=tail_headroom
         )
         if result is not None:
+            if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+                import sys as _sys
+
+                print(
+                    f"  decode: read {_t1 - _t0:6.1f}s  "
+                    f"native {_t.monotonic() - _t1:6.1f}s",
+                    file=_sys.stderr,
+                )
             return result
     except ImportError:
         pass

@@ -175,9 +175,22 @@ def _pairwise_matrix_device(
     block_size = max(32, min(block_size, (data_size + 7) & ~7))
     block_size = (block_size + 7) & ~7
 
+    from ..io.direct import DirectReader, pread_into_mt
+    from ..utils.bigmem import big_empty
+
     step = _make_block_step(n)
     shared = np.zeros((n, n), dtype=np.int64)
-    streams = [kinfmt.open_kin_stream(p) for p in paths]
+    # raw `.kin` inputs read O_DIRECT into reusable pooled buffers (buffered
+    # reads pay this environment's slow page-cache allocation); `.bgz` keeps
+    # the gzip stream
+    streams = []
+    bufs = []
+    for p in paths:
+        if p.endswith("." + kinfmt.COMP_EXT):
+            streams.append(("gz", kinfmt.open_kin_stream(p)))
+        else:
+            streams.append(("raw", DirectReader(p)))
+        bufs.append(big_empty(block_size))
     try:
         pool = ThreadPoolExecutor(max_workers=max(1, threads))
         try:
@@ -185,14 +198,23 @@ def _pairwise_matrix_device(
             while done < data_size:
                 want = min(block_size, data_size - done)
 
-                def read_one(fh, want=want):
+                def read_one(i, want=want, off=done):
                     # read + threshold + bit-pack in the reader thread: the
                     # upload shrinks 8x (1 bit per cell) and packing overlaps
                     # across the N streams
-                    buf = fh.read(want)
-                    if len(buf) != want:
+                    kind, src = streams[i]
+                    blk = bufs[i][:want]
+                    if kind == "raw":
+                        got = pread_into_mt(src, blk, off, threads=2)
+                    else:
+                        got, mv = 0, memoryview(blk)
+                        while got < want:
+                            r = src.readinto(mv[got:])
+                            if not r:
+                                break
+                            got += r
+                    if got != want:
                         raise IOError("short read while merging")
-                    blk = np.frombuffer(buf, dtype=np.uint8)
                     valid = (blk >= min_count) & (blk <= max_count)
                     if want < block_size:
                         valid = np.concatenate(
@@ -200,7 +222,7 @@ def _pairwise_matrix_device(
                         )
                     return np.packbits(valid)
 
-                bits = np.stack(list(pool.map(read_one, streams)))
+                bits = np.stack(list(pool.map(read_one, range(n))))
                 shared += np.asarray(step(jnp.asarray(bits)), dtype=np.int64)
                 done += want
                 if verbose:
@@ -211,8 +233,8 @@ def _pairwise_matrix_device(
         finally:
             pool.shutdown()
     finally:
-        for fh in streams:
-            fh.close()
+        for kind, src in streams:
+            src.close()
     assert done == data_size
     return shared
 
