@@ -205,21 +205,41 @@ def fetch_array_mt(
     return out
 
 
+_GATHER_SMALL = 1 << 16
+_GATHER_BIG = 1 << 22
+
+
+def _gather_batched(dense: jax.Array, idx: np.ndarray) -> np.ndarray:
+    """Gather dense cells at flat (row-major) indices via fixed-shape device
+    gathers.
+
+    Exactly two gather shapes exist ever (small/big, both preloadable):
+    padding to the next power of two minted a fresh executable per run, and
+    an in-band XLA compile + executable load over tunneled links costs tens
+    of seconds (measured 31 s mid-readback)."""
+    n = idx.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    pos = 0
+    while pos < n:
+        take = min(n - pos, _GATHER_BIG)
+        shape = _GATHER_SMALL if take <= _GATHER_SMALL else _GATHER_BIG
+        pad = np.zeros(shape, dtype=np.int64)
+        pad[:take] = idx[pos : pos + take]
+        rows = jnp.asarray((pad // _PACK_LANES).astype(np.int32))
+        cols = jnp.asarray((pad % _PACK_LANES).astype(np.int32))
+        vals = np.asarray(_gather_cells(dense, rows, cols))
+        out[pos : pos + take] = vals[:take]
+        pos += take
+    return out
+
+
 def _patch_escapes(dense: jax.Array, out: np.ndarray, escape: int) -> None:
     """Overwrite host cells equal to ``escape`` with their true device values
-    (one index gather; indices padded to a power of two to bound the number
-    of distinct compiled gather shapes)."""
+    (batched fixed-shape index gathers)."""
     esc_idx = np.flatnonzero(out == escape)
-    n = esc_idx.shape[0]
-    if n == 0:
+    if esc_idx.shape[0] == 0:
         return
-    padded = 1 << max(n - 1, 1).bit_length()
-    idx = np.zeros(padded, dtype=np.int64)
-    idx[:n] = esc_idx
-    rows = jnp.asarray((idx // _PACK_LANES).astype(np.int32))
-    cols = jnp.asarray((idx % _PACK_LANES).astype(np.int32))
-    vals = np.asarray(_gather_cells(dense, rows, cols))
-    out[esc_idx] = vals[:n]
+    out[esc_idx] = _gather_batched(dense, esc_idx)
 
 
 def _rc_codes_np(u: np.ndarray, kmer_len: int) -> np.ndarray:
@@ -312,20 +332,12 @@ def _pick_mode(dense: jax.Array, size: int, mode: str) -> str:
 
 
 def _gather_escapes(dense: jax.Array, esc_idx: np.ndarray) -> np.ndarray:
-    """One batched device gather of the true values at folded indices
-    ``esc_idx``. A single round trip replaces the per-slice gathers that
-    used to queue behind the plane transfers and serialize the whole tail
-    (indices padded to a power of two to bound compiled gather shapes)."""
-    n = esc_idx.shape[0]
-    if n == 0:
+    """Batched device gather of the true values at folded indices
+    ``esc_idx``. Batched after the link drains: per-slice gathers used to
+    queue behind the plane transfers and serialize the whole tail."""
+    if esc_idx.shape[0] == 0:
         return np.empty(0, dtype=np.uint8)
-    padded = 1 << max(n - 1, 1).bit_length()
-    idx = np.zeros(padded, dtype=np.int64)
-    idx[:n] = esc_idx
-    rows_d = jnp.asarray((idx // _PACK_LANES).astype(np.int32))
-    cols_d = jnp.asarray((idx % _PACK_LANES).astype(np.int32))
-    vals = np.asarray(_gather_cells(dense, rows_d, cols_d))
-    return vals[:n]
+    return _gather_batched(dense, esc_idx)
 
 
 def stream_dense_to_out(
@@ -509,6 +521,10 @@ def preload_programs(kmer_len: int, dense_shape=None) -> None:
     jax.block_until_ready(count_all_escapes(dummy))
     for fn in (pack_2bit, pack_3bit, pack_nibbles):
         jax.block_until_ready(fn(dummy))
+    # both fixed escape-gather shapes (the only ones _gather_batched emits)
+    for shape in (_GATHER_SMALL, _GATHER_BIG):
+        zi = jnp.zeros(shape, dtype=jnp.int32)
+        jax.block_until_ready(_gather_cells(dummy, zi, zi))
     del dummy
 
 
