@@ -92,6 +92,21 @@ def _load_joined_stream(
     if raw_out is not None and input_file is not None \
             and not input_file.endswith((".gz", ".bgz")):
         raw_out["bytes"] = data
+    result = _decode_joined_bytes(data, kmer_len, tail_headroom)
+    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+        import sys as _sys
+
+        print(
+            f"  decode: read {_t1 - _t0:6.1f}s  "
+            f"decode {_t.monotonic() - _t1:6.1f}s",
+            file=_sys.stderr,
+        )
+    return result
+
+
+def _decode_joined_bytes(data, kmer_len: int, tail_headroom: int = 0):
+    """Decode in-memory FASTA bytes to the joined code stream (native
+    one-pass path with the NumPy record path as fallback)."""
     try:
         from ..io.native import fasta_decode_joined_native
 
@@ -99,20 +114,95 @@ def _load_joined_stream(
             data, kmer_len, tail_headroom=tail_headroom
         )
         if result is not None:
-            if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
-                import sys as _sys
-
-                print(
-                    f"  decode: read {_t1 - _t0:6.1f}s  "
-                    f"native {_t.monotonic() - _t1:6.1f}s",
-                    file=_sys.stderr,
-                )
             return result
     except ImportError:
         pass
     from ..io.fasta import decode_fasta_bytes
 
     return _concat_records(decode_fasta_bytes(data), kmer_len)
+
+
+def _segment_record_bounds(buf: np.ndarray, target: int) -> List[Tuple[int, int]]:
+    """Split a raw FASTA byte buffer into ~``target``-byte segments at record
+    starts (a ``>`` at a line start).
+
+    Records never span segments and k-mer windows never span records (the
+    joined stream poisons inter-record windows with separators), so each
+    segment can be decoded and counted independently — the basis of the
+    decode/dispatch pipeline below."""
+    n = buf.shape[0]
+    starts = [0]
+    pos = target
+    while pos < n:
+        # next b"\n>" at or after pos-1 (scan in windows; '>' is rare)
+        found = None
+        p = pos - 1
+        while p < n - 1:
+            w = buf[p : p + (8 << 20)]
+            hits = np.flatnonzero(w[1:] == ord(">"))
+            for h in hits:
+                if w[h] == ord("\n"):
+                    found = p + int(h) + 1
+                    break
+            if found is not None:
+                break
+            p += (8 << 20) - 1
+        if found is None:
+            break
+        starts.append(found)
+        pos = found + target
+    return [(starts[i], starts[i + 1] if i + 1 < len(starts) else n)
+            for i in range(len(starts))]
+
+
+def _iter_pipelined_chunks(
+    data,
+    kmer_len: int,
+    config: IndexConfig,
+    sink: dict,
+    target_segment: int = 192 << 20,
+):
+    """Yield packed device chunks while the NEXT segment decodes on a
+    background thread — FASTA decode overlaps device upload/compute instead
+    of running as a serial up-front stage.
+
+    ``sink`` receives "chromosomes" (list) and "total_bp" (int), complete
+    once the generator is exhausted (i.e. after the accumulate loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io.native import fasta_decode_joined_native
+    from ..ops.encode import iter_chunks_packed_lazy
+
+    buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, np.uint8)
+    bounds = _segment_record_bounds(buf, target_segment)
+    headroom = config.chunk_windows + kmer_len
+
+    def decode(lo: int, hi: int):
+        # 2 decode threads: leave a core for the h2d transport, which is
+        # in-process and CPU-bound on tunneled links
+        return fasta_decode_joined_native(
+            buf[lo:hi], kmer_len, threads=2, tail_headroom=headroom
+        )
+
+    sink["chromosomes"] = []
+    sink["total_bp"] = 0
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(decode, *bounds[0])
+        for i in range(len(bounds)):
+            stream, chroms, bp = fut.result()
+            if i + 1 < len(bounds):
+                fut = ex.submit(decode, *bounds[i + 1])
+            sink["chromosomes"].extend(chroms)
+            sink["total_bp"] += bp
+            if stream.shape[0] >= kmer_len:
+                padded, n_chunks = chunk_stream(
+                    stream, kmer_len, config.chunk_windows
+                )
+                yield from iter_chunks_packed_lazy(
+                    padded, kmer_len, config.chunk_windows, n_chunks
+                )
+                del padded
+            del stream
 
 
 def create_fasta_index(
@@ -151,11 +241,12 @@ def create_fasta_index(
     stages = StageTimer()
     timer = header.timer
     raw: dict = {}
-    with stages.stage("fasta decode + join"):
-        stream, chromosomes, total_bp = _load_joined_stream(
-            input_file, kmer_len, raw_out=raw,
-            tail_headroom=config.chunk_windows + kmer_len,
-        )
+    with stages.stage("input read"):
+        from ..io.fasta import open_input_bytes
+
+        data = open_input_bytes(input_file)
+    if input_file is not None and not input_file.endswith((".gz", ".bgz")):
+        raw["bytes"] = data
 
     # input checksum in a background thread (hashlib releases the GIL):
     # overlaps the device accumulate + fetch phases; plain files hash the
@@ -177,44 +268,72 @@ def create_fasta_index(
 
     ck_thread = threading.Thread(target=_hash_input, daemon=True)
     ck_thread.start()
-    if total_bp >= PRINT_EVERY:
-        timer.update(total_bp)
-    if verbose:
-        print(f"  records {len(chromosomes):7,d} bp {total_bp:15,d}")
 
     strategy = config.accumulate
     if strategy == "auto":
         # dense uint8 + sort workspace must fit HBM comfortably
         strategy = "device" if data_size <= (4 << 30) else "host"
 
-    from ..utils.keepalive import d2h_keepalive
+    pipelined = strategy == "device" and len(data) > 0
+    if pipelined:
+        try:
+            from ..io.native import fasta_decode_joined_native  # noqa: F401
+        except ImportError:
+            pipelined = False
 
-    if stream.shape[0] < kmer_len:
-        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+    from ..utils.keepalive import d2h_keepalive
 
     tmp = header.index_tmp_file
     with d2h_keepalive():
-        with stages.stage("chunk framing"):
-            padded, n_chunks = chunk_stream(
-                stream, kmer_len, config.chunk_windows
-            )
-        with stages.stage("device accumulate"):
-            if strategy == "device":
-                # folded counts stay ON DEVICE; the tail streams them out
+        if pipelined:
+            # decode overlaps dispatch: segment i+1 decodes on a background
+            # thread while segment i's chunks pack + upload + accumulate
+            sink: dict = {}
+            with stages.stage("decode + accumulate (pipelined)"):
                 folded, num_kmers = _accumulate_device(
-                    padded, n_chunks, kmer_len, config, data_size, timer,
-                    verbose, stages,
+                    _iter_pipelined_chunks(data, kmer_len, config, sink),
+                    kmer_len, config, data_size, verbose, stages,
                 )
-            else:
-                folded, num_kmers = _accumulate_host(
-                    padded, n_chunks, kmer_len, config, data_size, timer, verbose
+            chromosomes, total_bp = sink["chromosomes"], sink["total_bp"]
+        else:
+            with stages.stage("fasta decode + join"):
+                stream, chromosomes, total_bp = _decode_joined_bytes(
+                    data, kmer_len,
+                    tail_headroom=config.chunk_windows + kmer_len,
                 )
+            if stream.shape[0] < kmer_len:
+                raise ValueError(
+                    f"{input_file}: no valid k-mers at K={kmer_len}"
+                )
+            with stages.stage("chunk framing"):
+                padded, n_chunks = chunk_stream(
+                    stream, kmer_len, config.chunk_windows
+                )
+            with stages.stage("device accumulate"):
+                if strategy == "device":
+                    from ..ops.encode import iter_chunks_packed_lazy
+
+                    # folded counts stay ON DEVICE; the tail streams them out
+                    folded, num_kmers = _accumulate_device(
+                        iter_chunks_packed_lazy(
+                            padded, kmer_len, config.chunk_windows, n_chunks
+                        ),
+                        kmer_len, config, data_size, verbose, stages,
+                    )
+                else:
+                    folded, num_kmers = _accumulate_host(
+                        padded, n_chunks, kmer_len, config, data_size, timer,
+                        verbose,
+                    )
+            # the code stream is fully consumed (num_kmers sync drained the
+            # dispatch queue) — release its pooled block before the output
+            # plane allocates, so the pool can hand it straight back
+            del padded, stream
         if num_kmers == 0:
             raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
-        # the code stream is fully consumed (num_kmers sync drained the
-        # dispatch queue) — release its pooled block before the output
-        # plane allocates, so the pool can hand it straight back
-        del padded, stream
+        del data
+        if verbose:
+            print(f"  records {len(chromosomes):7,d} bp {total_bp:15,d}")
         if total_bp >= PRINT_EVERY:
             timer.update(total_bp)
 
@@ -416,12 +535,10 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
 
 
 def _accumulate_device(
-    padded: np.ndarray,
-    n_chunks: int,
+    chunks,
     kmer_len: int,
     config: IndexConfig,
     data_size: int,
-    timer: Timer,
     verbose: bool,
     stages=None,
 ):
@@ -451,13 +568,10 @@ def _accumulate_device(
         shape = (fold_size // 128, 128) if two_d else (fold_size,)
         dense = jnp.zeros(shape, dtype=jnp.uint8)
         nk = jnp.zeros((), dtype=jnp.int64)
-    from ..ops.encode import iter_chunks_packed_lazy
 
     with stages.stage("step dispatch"):
         done_windows = 0
-        for bases2, maskbits in iter_chunks_packed_lazy(
-            padded, kmer_len, config.chunk_windows, n_chunks
-        ):
+        for bases2, maskbits in chunks:
             if maskbits is None:
                 dense, nk = step_av_jit(dense, nk, jnp.asarray(bases2))
             else:
@@ -465,7 +579,7 @@ def _accumulate_device(
                     dense, nk, jnp.asarray(bases2), jnp.asarray(maskbits)
                 )
             done_windows += config.chunk_windows
-            if verbose and n_chunks > 1:
+            if verbose and done_windows > config.chunk_windows:
                 print(f"  dispatched windows {done_windows:15,d}")
     with stages.stage("num_kmers sync"):
         num_kmers = int(nk)

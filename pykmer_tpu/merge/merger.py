@@ -139,22 +139,29 @@ def merge(
 
 @_functools.lru_cache(maxsize=None)
 def _make_block_step(n: int):
-    """Jitted per-block contingency matmul, cached per sample count (a fresh
-    ``jax.jit`` per merge run would recompile; compiles through this
-    environment's tunnel cost ~80 s regardless of program size)."""
+    """Jitted per-block contingency matmul with an on-device accumulator,
+    cached per sample count (a fresh ``jax.jit`` per merge run would
+    recompile; compiles through this environment's tunnel cost ~80 s
+    regardless of program size).
+
+    The accumulator is donated and carried on device so block steps dispatch
+    fully asynchronously — the readers stream the next block from disk while
+    the device is still unpacking/multiplying the previous one. int64: at
+    K>=17 a sample's valid-cell total can exceed int32."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def step(bits: jax.Array) -> jax.Array:
+    def step(acc: jax.Array, bits: jax.Array) -> jax.Array:
         # bits: [n, block/8] uint8 — host-packed validity mask (8 cells per
         # byte, bitorder='big' like np.packbits). Device unpacks and runs one
         # int8 MXU matmul V @ V.T = the block's full N×N contingency.
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         v = ((bits[:, :, None] >> shifts) & 1).reshape(n, -1).astype(jnp.int8)
-        return jnp.dot(v, v.T, preferred_element_type=jnp.int32)
+        return acc + jnp.dot(
+            v, v.T, preferred_element_type=jnp.int32
+        ).astype(jnp.int64)
 
-    return step
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def _pairwise_matrix_device(
@@ -167,6 +174,12 @@ def _pairwise_matrix_device(
     verbose: bool,
 ) -> np.ndarray:
     """Shared-count N×N matrix; each file streamed exactly once."""
+    import jax
+
+    # the on-device accumulator must be true int64: per-sample totals exceed
+    # int32 at K>=16 (this path does not otherwise import ops/, which
+    # enables x64 for the whole process)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     n = len(paths)
@@ -179,7 +192,7 @@ def _pairwise_matrix_device(
     from ..utils.bigmem import big_empty
 
     step = _make_block_step(n)
-    shared = np.zeros((n, n), dtype=np.int64)
+    acc = jnp.zeros((n, n), dtype=jnp.int64)
     # raw `.kin` inputs read O_DIRECT into reusable pooled buffers (buffered
     # reads pay this environment's slow page-cache allocation); `.bgz` keeps
     # the gzip stream
@@ -223,7 +236,7 @@ def _pairwise_matrix_device(
                     return np.packbits(valid)
 
                 bits = np.stack(list(pool.map(read_one, range(n))))
-                shared += np.asarray(step(jnp.asarray(bits)), dtype=np.int64)
+                acc = step(acc, jnp.asarray(bits))
                 done += want
                 if verbose:
                     print(
@@ -236,7 +249,7 @@ def _pairwise_matrix_device(
         for kind, src in streams:
             src.close()
     assert done == data_size
-    return shared
+    return np.asarray(acc, dtype=np.int64)
 
 
 def pair_counts_stream(

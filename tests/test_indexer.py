@@ -160,3 +160,56 @@ def test_mask_all_valid_edges():
     tail = np.array([0xFF, 0x0F], dtype=np.uint8)
     assert mask_all_valid(tail, 12)
     assert not mask_all_valid(tail, 13)
+
+
+def test_segment_record_bounds(tmp_path, rng):
+    from pykmer_tpu.index import indexer as idx
+
+    fasta = make_random_fasta(str(tmp_path / "seg.fa"), rng, n_records=40,
+                              lengths=(500, 133, 67))
+    buf = np.fromfile(fasta, dtype=np.uint8)
+    bounds = idx._segment_record_bounds(buf, target=1500)
+    assert len(bounds) > 3
+    assert bounds[0][0] == 0 and bounds[-1][1] == buf.shape[0]
+    for (lo, hi), (lo2, _) in zip(bounds, bounds[1:]):
+        assert hi == lo2  # contiguous cover
+    for lo, _ in bounds[1:]:
+        assert buf[lo] == ord(">") and buf[lo - 1] == ord("\n")
+
+
+def test_pipelined_multisegment_matches_oracle(tmp_path, rng, monkeypatch):
+    """Force the decode/dispatch pipeline into many small segments: output
+    must stay byte-identical to the oracle (which decodes in one pass)."""
+    from pykmer_tpu.index import indexer as idx
+
+    try:
+        import pykmer_tpu.io.native  # noqa: F401
+    except ImportError:
+        pytest.skip("native decode unavailable")
+
+    fasta = make_random_fasta(str(tmp_path / "pipe.fa"), rng, n_records=40,
+                              lengths=(500, 133, 67))
+    orig = idx._iter_pipelined_chunks
+    monkeypatch.setattr(
+        idx, "_iter_pipelined_chunks",
+        lambda data, k, cfg, sink: orig(data, k, cfg, sink,
+                                        target_segment=1500),
+    )
+    kmer_len = 7
+    cfg = IndexConfig(kmer_len=kmer_len, chunk_windows=1000)
+    header = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg,
+                                verbose=False)
+    root = header.index_file_root
+    ours_kin = _file_bytes(root)
+    with open(header.metadata_file) as fh:
+        ours_meta = json.load(fh)
+    os.rename(root, root + ".ours")
+    os.remove(header.metadata_file)
+
+    oracle_write_index(fasta, fasta, kmer_len)
+    assert _file_bytes(root) == ours_kin
+    with open(header.metadata_file) as fh:
+        oracle_meta = json.load(fh)
+    assert ours_meta["num_kmers"] == oracle_meta["num_kmers"]
+    assert ours_meta["hist"] == oracle_meta["hist"]
+    assert ours_meta["chromosomes"] == oracle_meta["chromosomes"]
