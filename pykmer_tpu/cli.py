@@ -38,7 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("sample_name")
     p.add_argument("kmer_len", type=int)
     p.add_argument("--no-overwrite", action="store_true")
-    p.add_argument("--chunk-windows", type=int, default=IndexConfig.chunk_windows)
+    p.add_argument("--chunk-windows", type=int, default=None,
+                   help="window starts per device chunk "
+                        "(default: 16M on TPU, 4M elsewhere)")
     p.add_argument("--accumulate", choices=["auto", "device", "host"],
                    default="auto")
     p.add_argument("--no-verify", action="store_true")

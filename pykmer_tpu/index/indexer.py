@@ -216,7 +216,9 @@ def create_fasta_index(
     verbose: bool = True,
 ) -> KinHeader:
     """Build one `.kin` index (single-host entry point)."""
-    config = config or IndexConfig(kmer_len=kmer_len)
+    from ..config import resolve_chunk_windows
+
+    config = resolve_chunk_windows(config or IndexConfig(kmer_len=kmer_len))
     assert config.kmer_len == kmer_len
 
     header = KinHeader(
@@ -517,7 +519,9 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
     import jax
     import jax.numpy as jnp
 
-    config = config or IndexConfig(kmer_len=kmer_len)
+    from ..config import resolve_chunk_windows
+
+    config = resolve_chunk_windows(config or IndexConfig(kmer_len=kmer_len))
     fold_size = 4**kmer_len // 2
     use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
     span = config.chunk_windows + kmer_len - 1
@@ -569,18 +573,41 @@ def _accumulate_device(
         dense = jnp.zeros(shape, dtype=jnp.uint8)
         nk = jnp.zeros((), dtype=jnp.int64)
 
+    timing = bool(os.environ.get("PYKMER_TPU_STAGE_TIMING"))
+    t_gen = t_h2d = t_disp = 0.0
     with stages.stage("step dispatch"):
+        import time as _t
+
         done_windows = 0
-        for bases2, maskbits in chunks:
-            if maskbits is None:
-                dense, nk = step_av_jit(dense, nk, jnp.asarray(bases2))
+        it = iter(chunks)
+        while True:
+            _t0 = _t.monotonic()
+            nxt = next(it, None)
+            t_gen += _t.monotonic() - _t0
+            if nxt is None:
+                break
+            bases2, maskbits = nxt
+            _t0 = _t.monotonic()
+            dev_b = jnp.asarray(bases2)
+            dev_m = None if maskbits is None else jnp.asarray(maskbits)
+            t_h2d += _t.monotonic() - _t0
+            _t0 = _t.monotonic()
+            if dev_m is None:
+                dense, nk = step_av_jit(dense, nk, dev_b)
             else:
-                dense, nk = step_jit(
-                    dense, nk, jnp.asarray(bases2), jnp.asarray(maskbits)
-                )
+                dense, nk = step_jit(dense, nk, dev_b, dev_m)
+            t_disp += _t.monotonic() - _t0
             done_windows += config.chunk_windows
             if verbose and done_windows > config.chunk_windows:
                 print(f"  dispatched windows {done_windows:15,d}")
+    if timing:
+        import sys as _sys
+
+        print(
+            f"  dispatch: gen-wait {t_gen:6.1f}s  h2d {t_h2d:6.1f}s  "
+            f"step {t_disp:6.1f}s",
+            file=_sys.stderr,
+        )
     with stages.stage("num_kmers sync"):
         num_kmers = int(nk)
     return dense, num_kmers

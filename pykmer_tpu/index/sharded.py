@@ -54,6 +54,13 @@ def create_fasta_index_sharded(
 ) -> KinHeader:
     """Build one `.kin` index over a device mesh, resumably."""
     config = config or IndexConfig(kmer_len=kmer_len)
+    if config.chunk_windows is None:
+        # sharded steps route a whole chunk through an all_to_all whose
+        # capacity scales with chunk_windows; keep the per-step footprint
+        # bounded rather than taking the single-chip TPU default (16M)
+        import dataclasses as _dc
+
+        config = _dc.replace(config, chunk_windows=1 << 22)
     if mesh is None:
         mesh = make_mesh(n_shards=n_shards, n_data=n_data)
 

@@ -272,6 +272,41 @@ def unfold_canonical_range_native(
     )
 
 
+_lib.unpack_unfold_range.restype = ctypes.c_long
+_lib.unpack_unfold_range.argtypes = [
+    ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+    ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_long,
+]
+
+
+def unpack_unfold_native(
+    packed: np.ndarray, width: int, out: np.ndarray, kmer_len: int, lo: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused readback tail for one bit-packed folded-plane slice: unfold into
+    the full 4^K plane ``out``, return (counts int64[256], escape-marker local
+    indices uint32[n]). One memory pass instead of the separate
+    unpack/flatnonzero/count/unfold passes."""
+    packed = np.ascontiguousarray(packed.reshape(-1))
+    assert packed.dtype == np.uint8 and out.dtype == np.uint8
+    n_cells = packed.shape[0] * 8 // width
+    assert lo + n_cells <= out.shape[0] // 2
+    counts = np.zeros(256, dtype=np.int64)
+    cap = n_cells // 16 + 4096
+    while True:
+        esc = np.empty(cap, dtype=np.uint32)
+        n_esc = _lib.unpack_unfold_range(
+            packed.ctypes.data, packed.shape[0], width, out.ctypes.data,
+            kmer_len, lo, counts.ctypes.data, esc.ctypes.data, cap,
+        )
+        if n_esc < 0:
+            raise ValueError(f"bad pack width {width}")
+        if n_esc <= cap:
+            return counts, esc[:n_esc]
+        counts[:] = 0
+        cap = n_esc  # rare: saturated data; redo with the exact size
+
+
 def count256_native(arr: np.ndarray) -> np.ndarray:
     assert arr.dtype == np.uint8
     arr = np.ascontiguousarray(arr.reshape(-1))

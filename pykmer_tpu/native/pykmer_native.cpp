@@ -554,6 +554,75 @@ void unfold_canonical_range(const uint8_t* folded_slice, uint8_t* out, int k,
   }
 }
 
+}  // extern "C" (template below needs C++ linkage)
+
+// Fused readback tail: one pass over a bit-packed folded-plane slice that
+// (a) unfolds each cell into the full 4^K output plane, (b) accumulates the
+// 256-bin value histogram, and (c) records local indices of escape-marker
+// cells (value == 2^W - 1). Replaces the separate unpack -> flatnonzero ->
+// counts -> unfold passes (saves ~1.6 GB of memory traffic per GiB-scale
+// readback on the 2-core host). Single-threaded per call: the fetch pipeline
+// runs one slice per worker. Returns the total escape count; only the first
+// `esc_cap` indices are stored (caller re-runs with a larger buffer on
+// overflow — escapes are <1% in the auto-picked pack mode).
+template <int W>
+static long unpack_unfold_impl(const uint8_t* packed, long n_bytes,
+                               uint8_t* out, int k, uint64_t lo,
+                               long* counts, uint32_t* esc, long esc_cap) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t m = (1ULL << bits) - 1;
+  const uint8_t marker = (uint8_t)((1 << W) - 1);
+  long n_esc = 0;
+  long local_counts[256] = {0};
+  uint64_t idx = 0;
+  auto emit = [&](uint8_t v) {
+    local_counts[v]++;
+    if (v == marker) {
+      if (n_esc < esc_cap) esc[n_esc] = (uint32_t)idx;
+      n_esc++;  // total count even past esc_cap (caller detects overflow)
+    }
+    uint64_t u = lo + idx;
+    bool canon = u <= rc_code(u, bits);
+    out[u] = canon ? v : 0;
+    out[m - u] = canon ? 0 : v;
+    idx++;
+  };
+  if (W == 2) {
+    for (long p = 0; p < n_bytes; p++) {
+      uint8_t b = packed[p];
+      emit(b & 3); emit((b >> 2) & 3); emit((b >> 4) & 3); emit(b >> 6);
+    }
+  } else if (W == 3) {
+    for (long g = 0; g < n_bytes / 3; g++) {
+      uint32_t w = (uint32_t)packed[3 * g] | ((uint32_t)packed[3 * g + 1] << 8) |
+                   ((uint32_t)packed[3 * g + 2] << 16);
+      for (int i = 0; i < 8; i++) emit((uint8_t)((w >> (3 * i)) & 7));
+    }
+  } else {  // W == 4
+    for (long p = 0; p < n_bytes; p++) {
+      uint8_t b = packed[p];
+      emit(b & 15); emit(b >> 4);
+    }
+  }
+  for (int v = 0; v < 256; v++) counts[v] += local_counts[v];
+  return n_esc;
+}
+
+extern "C" {
+
+long unpack_unfold_range(const uint8_t* packed, long n_bytes, int width,
+                         uint8_t* out, int k, uint64_t lo, long* counts,
+                         uint32_t* esc, long esc_cap) {
+  if (width == 2)
+    return unpack_unfold_impl<2>(packed, n_bytes, out, k, lo, counts, esc, esc_cap);
+  if (width == 3)
+    return unpack_unfold_impl<3>(packed, n_bytes, out, k, lo, counts, esc, esc_cap);
+  if (width == 4)
+    return unpack_unfold_impl<4>(packed, n_bytes, out, k, lo, counts, esc, esc_cap);
+  return -1;
+}
+
 }  // extern "C"
 
 extern "C" {

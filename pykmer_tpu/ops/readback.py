@@ -437,10 +437,22 @@ def stream_dense_to_out(
         # phase 2 — unpack + escape scan + stats + unfold on all cores
         t0 = _time.monotonic()
 
+        try:
+            from ..io.native import unpack_unfold_native as _fused
+        except ImportError:
+            _fused = None
+        width = {"2bit": 2, "3bit": 3, "packed": 4}.get(mode)
+
         def work(i: int) -> np.ndarray:
             buf, bufs[i] = bufs[i], None
-            folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
             lo = bounds[i] * cells_per_row
+            if _fused is not None and width is not None:
+                # one fused pass: unfold + 256-bin counts + escape indices
+                counts, esc_local = _fused(buf, width, out, kmer_len, lo)
+                if esc_local.shape[0]:
+                    esc_lists[i] = esc_local.astype(np.int64) + lo
+                return counts
+            folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
             if escape is not None:
                 esc_local = np.flatnonzero(folded_slice == escape)
                 if esc_local.shape[0]:
