@@ -178,8 +178,12 @@ def _iter_pipelined_chunks(
     headroom = config.chunk_windows + kmer_len
 
     def decode(lo: int, hi: int):
-        # 2 decode threads: leave a core for the h2d transport, which is
-        # in-process and CPU-bound on tunneled links
+        # 2 decode threads at low priority: the h2d transport is in-process
+        # and CPU-bound on tunneled links — it must win the cores whenever
+        # both are runnable (decode has slack, transfers do not)
+        from ..utils import renice_current_thread
+
+        renice_current_thread(10)
         return fasta_decode_joined_native(
             buf[lo:hi], kmer_len, threads=2, tail_headroom=headroom
         )
@@ -260,6 +264,9 @@ def create_fasta_index(
     input_ck: dict = {}
 
     def _hash_input() -> None:
+        from ..utils import renice_current_thread
+
+        renice_current_thread(10)  # background provenance work: yield to transfers
         if "bytes" in raw:
             import hashlib as _hashlib
 

@@ -208,6 +208,9 @@ def iter_chunks_packed_lazy(
     from concurrent.futures import ThreadPoolExecutor
 
     def pack_one(piece):
+        from ..utils import renice_current_thread
+
+        renice_current_thread(10)  # yield the cores to h2d transport threads
         bases, mask = pack_base_stream(piece)
         mask = mask[:m_span]
         # all-valid chunks (no Ns / separators / padding — the common case

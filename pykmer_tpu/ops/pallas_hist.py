@@ -37,14 +37,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 # MXU cost per update is ~2*TILE_ROWS*128 MACs (the row one-hot spans the
-# whole tile), so smaller tiles directly cut compute; 1024 balances that
-# against per-tile DMA/grid overhead (4096 measured ~4x slower end-to-end)
-DEFAULT_TILE_ROWS = 1024
+# whole tile), so smaller tiles directly cut compute, traded against
+# per-tile grid overhead. Measured on v5e at 16.7M codes over a 2^29-cell
+# folded plane (double-buffered block DMA): rows 2048/1024/512/256/128 →
+# 66/45/36/42/66 ms. block < 1024 fails to compile (dynamic VMEM slices
+# must align to the (1024,) int32 tile); block 2048 is ~2 ms slower.
+DEFAULT_TILE_ROWS = 512
 DEFAULT_BLOCK = 1024
 
 
 def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
-            acc_ref, codes_buf, sem, *, tile_rows: int, block: int):
+            acc_ref, codes_buf, sems, *, tile_rows: int, block: int):
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
@@ -58,14 +61,41 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
     n_blocks = pl.cdiv(end - a_start, jnp.int32(block))
     tile_base = t * (tile_rows * LANES)
 
-    def body(i, _):
+    def dma(i, slot):
+        slot = jnp.asarray(slot, jnp.int32)
         offs = pl.multiple_of(a_start + i * block, block)
-        copy = pltpu.make_async_copy(
-            codes_ref.at[pl.ds(offs, block)], codes_buf, sem
+        # the scratch is flat [2 * block] so both slot windows are
+        # block-aligned (Mosaic requires (1024,)-tile-aligned dynamic VMEM
+        # slices; a [2, block] scratch's dynamic sublane slice is rejected)
+        # explicit int32: under jax_enable_x64 the product otherwise traces
+        # as i64, which Mosaic's memref_slice rejects
+        dst = pl.multiple_of(
+            (slot * jnp.int32(block)).astype(jnp.int32), block
         )
-        copy.start()
-        copy.wait()
-        c = codes_buf[...]
+        return pltpu.make_async_copy(
+            codes_ref.at[pl.ds(offs, block)],
+            codes_buf.at[pl.ds(dst, block)],
+            sems.at[slot],
+        )
+
+    def body(i, _):
+        slot = jax.lax.rem(i, jnp.int32(2))
+        # double-buffered block stream: block i+1's HBM->VMEM DMA is in
+        # flight while block i feeds the MXU (the serial start();wait() it
+        # replaces cost ~2 us x ~20k blocks per 16M-code sweep)
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            dma(i + 1, 1 - slot).start()
+
+        dma(i, slot).wait()
+        c = codes_buf[
+            pl.ds(
+                pl.multiple_of(
+                    (slot * jnp.int32(block)).astype(jnp.int32), block
+                ),
+                block,
+            )
+        ]
         local = c - tile_base
         row = local >> 7
         col = local & (LANES - 1)
@@ -90,6 +120,7 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
     @pl.when(end > start)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        dma(0, 0).start()
         jax.lax.fori_loop(0, n_blocks, body, 0)
         counts = jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
         old = dense_in_ref[...].astype(jnp.int32)
@@ -149,8 +180,8 @@ def accumulate_sorted_pallas(
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_rows, LANES), jnp.float32),
-            pltpu.VMEM((block,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2 * block,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_kernel, tile_rows=tile_rows, block=block)
