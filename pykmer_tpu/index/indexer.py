@@ -299,7 +299,7 @@ def create_fasta_index(
             # thread while segment i's chunks pack + upload + accumulate
             sink: dict = {}
             with stages.stage("decode + accumulate (pipelined)"):
-                folded, num_kmers = _accumulate_device(
+                folded, num_kmers, escapes = _accumulate_device(
                     _iter_pipelined_chunks(data, kmer_len, config, sink),
                     kmer_len, config, data_size, verbose, stages,
                 )
@@ -323,13 +323,14 @@ def create_fasta_index(
                     from ..ops.encode import iter_chunks_packed_lazy
 
                     # folded counts stay ON DEVICE; the tail streams them out
-                    folded, num_kmers = _accumulate_device(
+                    folded, num_kmers, escapes = _accumulate_device(
                         iter_chunks_packed_lazy(
                             padded, kmer_len, config.chunk_windows, n_chunks
                         ),
                         kmer_len, config, data_size, verbose, stages,
                     )
                 else:
+                    escapes = None
                     folded, num_kmers = _accumulate_host(
                         padded, n_chunks, kmer_len, config, data_size, timer,
                         verbose,
@@ -383,7 +384,8 @@ def create_fasta_index(
                     unfold_canonical(folded, kmer_len, out=out)
                 else:
                     counts = stream_dense_to_out(
-                        folded, kmer_len, out, mode=config.readback
+                        folded, kmer_len, out, mode=config.readback,
+                        escapes=escapes,
                     ).copy()
                 counts[0] += data_size // 2
                 # O_DIRECT bulk write and sha256 both stream the finished
@@ -615,9 +617,17 @@ def _accumulate_device(
             f"step {t_disp:6.1f}s",
             file=_sys.stderr,
         )
+    # queue the readback's escape-count pass behind the last step BEFORE
+    # draining the dispatch queue: its scalars ride back with the sync
+    # instead of paying their own round trip when the readback starts
+    escapes = None
+    if fold_size % 256 == 0 and fold_size >= (1 << 26):
+        from ..ops.readback import count_all_escapes
+
+        escapes = count_all_escapes(dense)
     with stages.stage("num_kmers sync"):
         num_kmers = int(nk)
-    return dense, num_kmers
+    return dense, num_kmers, escapes
 
 
 def _accumulate_host(

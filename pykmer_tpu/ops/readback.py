@@ -313,13 +313,20 @@ def unfold_range(
     out[m - hi + 1 : m - lo + 1] = np.where(canon, 0, folded_slice)[::-1]
 
 
-def _pick_mode(dense: jax.Array, size: int, mode: str) -> str:
-    """Resolve "auto" to a concrete plane via the device escape counts."""
+def _pick_mode(dense: jax.Array, size: int, mode: str, escapes=None) -> str:
+    """Resolve "auto" to a concrete plane via the device escape counts.
+
+    ``escapes``: optional pre-dispatched ``count_all_escapes`` result — the
+    indexer queues it right after the last accumulate step so the scalars are
+    already on their way back when the readback starts (saves the round trip
+    behind a drained dispatch queue)."""
     if mode == "raw" or (mode == "auto" and size < (1 << 26)) or size % _PACK_LANES:
         return "raw"
     if mode != "auto":
         return mode
-    n_ge3, n_ge7, n_ge15 = (int(v) for v in count_all_escapes(dense))
+    if escapes is None:
+        escapes = count_all_escapes(dense)
+    n_ge3, n_ge7, n_ge15 = (int(v) for v in escapes)
     # bytes moved per plane: plane bits/8 per cell + ~9 bytes per escape
     # (index upload + value download + dispatch overheads)
     costs = {
@@ -348,6 +355,7 @@ def stream_dense_to_out(
     slice_bytes: int = SLICE_BYTES,
     threads: int = FETCH_THREADS,
     fd: Optional[int] = None,
+    escapes=None,
 ) -> np.ndarray:
     """Fetch the folded device plane and expand it straight into ``out``
     (uint8[4^K]), overlapping the d2h slice transfers with host-side unpack +
@@ -366,7 +374,7 @@ def stream_dense_to_out(
     size = int(np.prod(dense.shape))
     assert out.shape[0] == 2 * size and out.dtype == np.uint8
     _t0 = _t.monotonic()
-    mode = _pick_mode(dense, size, mode)
+    mode = _pick_mode(dense, size, mode, escapes=escapes)
     _t_pick = _t.monotonic() - _t0
 
     if mode == "raw":
