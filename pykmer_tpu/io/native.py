@@ -278,6 +278,39 @@ _lib.unpack_unfold_range.argtypes = [
     ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
     ctypes.c_long,
 ]
+try:
+    _lib.unpack_unfold_range_fast.restype = ctypes.c_long
+    _lib.unpack_unfold_range_fast.argtypes = \
+        _lib.unpack_unfold_range.argtypes + [ctypes.c_void_p]
+    _lib.build_canon_bits.restype = None
+    _lib.build_canon_bits.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int
+    ]
+    _HAVE_FAST_UNFOLD = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_FAST_UNFOLD = False
+
+_CANON_BITS: dict = {}
+_CANON_LOCK = __import__("threading").Lock()
+
+
+def canon_bits_cached(kmer_len: int) -> Optional[np.ndarray]:
+    """Per-process cache of the per-K canonical-selector bitmask (bit u =
+    ``u <= revcomp(u)``, 4^K/16 bytes — 67 MB at K=15). Built multithreaded
+    on first use; the readback fast path indexes it instead of computing a
+    reverse complement per cell."""
+    if not _HAVE_FAST_UNFOLD:
+        return None
+    with _CANON_LOCK:
+        bits = _CANON_BITS.get(kmer_len)
+        if bits is None:
+            from ..utils.bigmem import big_empty
+
+            half = 4**kmer_len // 2
+            bits = big_empty((half + 7) // 8)
+            _lib.build_canon_bits(kmer_len, bits.ctypes.data, 4)
+            _CANON_BITS[kmer_len] = bits
+    return bits
 
 
 def unpack_unfold_native(
@@ -292,13 +325,21 @@ def unpack_unfold_native(
     n_cells = packed.shape[0] * 8 // width
     assert lo + n_cells <= out.shape[0] // 2
     counts = np.zeros(256, dtype=np.int64)
+    bits = canon_bits_cached(kmer_len) if lo % 8 == 0 else None
     cap = n_cells // 16 + 4096
     while True:
         esc = np.empty(cap, dtype=np.uint32)
-        n_esc = _lib.unpack_unfold_range(
-            packed.ctypes.data, packed.shape[0], width, out.ctypes.data,
-            kmer_len, lo, counts.ctypes.data, esc.ctypes.data, cap,
-        )
+        if bits is not None:
+            n_esc = _lib.unpack_unfold_range_fast(
+                packed.ctypes.data, packed.shape[0], width, out.ctypes.data,
+                kmer_len, lo, counts.ctypes.data, esc.ctypes.data, cap,
+                bits.ctypes.data,
+            )
+        else:
+            n_esc = _lib.unpack_unfold_range(
+                packed.ctypes.data, packed.shape[0], width, out.ctypes.data,
+                kmer_len, lo, counts.ctypes.data, esc.ctypes.data, cap,
+            )
         if n_esc < 0:
             raise ValueError(f"bad pack width {width}")
         if n_esc <= cap:

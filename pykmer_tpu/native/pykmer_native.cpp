@@ -609,6 +609,118 @@ static long unpack_unfold_impl(const uint8_t* packed, long n_bytes,
   return n_esc;
 }
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+
+// BMI2 fast path: pdep expands 8 packed W-bit fields into the 8 bytes of a
+// uint64 in one instruction (cell i lands in byte i — little-endian field
+// order matches the pack layout for W = 2/3/4). The per-cell canonical test
+// is replaced by a precomputed per-K bitmask (build_canon_bits below): bit u
+// of `canon_bits` = (u <= revcomp(u)), expanded 8-at-a-time to byte select
+// masks with another pdep. ~2.5 ops/cell vs ~12 for the scalar path.
+template <int W>
+__attribute__((target("bmi2")))
+static long unpack_unfold_bmi2(const uint8_t* packed, long n_bytes,
+                               uint8_t* out, int k, uint64_t lo,
+                               long* counts, uint32_t* esc, long esc_cap,
+                               const uint8_t* canon_bits) {
+  const int bits = 2 * k;
+  const uint64_t m = (1ULL << bits) - 1;
+  const uint64_t dep_mask = W == 2 ? 0x0303030303030303ULL
+                          : W == 3 ? 0x0707070707070707ULL
+                                   : 0x0F0F0F0F0F0F0F0FULL;
+  const uint64_t marker8 = W == 2 ? 0x0303030303030303ULL
+                         : W == 3 ? 0x0707070707070707ULL
+                                  : 0x0F0F0F0F0F0F0F0FULL;
+  const long n_groups = W == 2 ? n_bytes / 2 : W == 3 ? n_bytes / 3 : n_bytes / 4;
+  long n_esc = 0;
+  // 4 interleaved tables break the store-forwarding dependency chain of
+  // repeated same-bin increments (classic histogram trick)
+  long c4[4][16] = {{0}};
+  uint64_t u0 = lo;        // first cell of the current group
+  uint64_t mu = m - lo;    // mirror of the first cell
+  for (long g = 0; g < n_groups; g++, u0 += 8, mu -= 8) {
+    uint64_t w;
+    if (W == 2) {
+      uint16_t h;
+      memcpy(&h, packed + 2 * g, 2);
+      w = h;
+    } else if (W == 3) {
+      uint32_t h = (uint32_t)packed[3 * g] |
+                   ((uint32_t)packed[3 * g + 1] << 8) |
+                   ((uint32_t)packed[3 * g + 2] << 16);
+      w = h;
+    } else {
+      uint32_t h;
+      memcpy(&h, packed + 4 * g, 4);
+      w = h;
+    }
+    const uint64_t cells = _pdep_u64(w, dep_mask);
+    // 16-bin histogram (values 0..2^W-1), 4 interleaved tables
+    c4[0][cells & 15]++;
+    c4[1][(cells >> 8) & 15]++;
+    c4[2][(cells >> 16) & 15]++;
+    c4[3][(cells >> 24) & 15]++;
+    c4[0][(cells >> 32) & 15]++;
+    c4[1][(cells >> 40) & 15]++;
+    c4[2][(cells >> 48) & 15]++;
+    c4[3][(cells >> 56) & 15]++;
+    // escape-marker bytes: exact zero-byte detect on cells ^ marker (the
+    // classic (z-0x01..)&~z&0x80.. variant false-positives on cross-byte
+    // borrows; this per-7-bit add form has no carries between bytes)
+    uint64_t z = cells ^ marker8;
+    uint64_t escm = ~(((z & 0x7F7F7F7F7F7F7F7FULL) + 0x7F7F7F7F7F7F7F7FULL)
+                      | z | 0x7F7F7F7F7F7F7F7FULL);
+    while (escm) {
+      int b = __builtin_ctzll(escm) >> 3;
+      if (n_esc < esc_cap) esc[n_esc] = (uint32_t)(u0 - lo + b);
+      n_esc++;
+      escm &= escm - 1;
+    }
+    // canonical byte-select mask from 8 precomputed bits (lo % 8 == 0 is
+    // asserted by the wrapper, so each group reads exactly one mask byte)
+    const uint8_t cb = canon_bits[u0 >> 3];
+    const uint64_t sel = _pdep_u64(cb, 0x0101010101010101ULL) * 0xFF;
+    const uint64_t fwd = cells & sel;
+    memcpy(out + u0, &fwd, 8);
+    const uint64_t rev = __builtin_bswap64(cells & ~sel);
+    memcpy(out + mu - 7, &rev, 8);
+  }
+  for (int v = 0; v < 16; v++)
+    counts[v] += c4[0][v] + c4[1][v] + c4[2][v] + c4[3][v];
+  return n_esc;
+}
+
+// bit u = (u <= revcomp_code(u)) for u in [0, 2^(2k-1)): the per-K canonical
+// selector consumed by unpack_unfold_bmi2. Built once per process per K
+// (multithreaded, byte-aligned split).
+void build_canon_bits_impl(int k, uint8_t* bits_out, int threads) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t half = 1ULL << (bits - 1);
+  const uint64_t n_bytes = (half + 7) / 8;
+  if (threads < 1) threads = 1;
+  uint64_t per = (n_bytes + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    uint64_t blo = t * per, bhi = std::min(n_bytes, blo + per);
+    if (blo >= bhi) break;
+    pool.emplace_back([=] {
+      for (uint64_t b = blo; b < bhi; b++) {
+        uint8_t acc = 0;
+        uint64_t base = b * 8;
+        for (int i = 0; i < 8 && base + i < half; i++) {
+          uint64_t u = base + i;
+          if (u <= rc_code(u, bits)) acc |= (uint8_t)(1u << i);
+        }
+        bits_out[b] = acc;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+#endif  // __x86_64__
+
 extern "C" {
 
 long unpack_unfold_range(const uint8_t* packed, long n_bytes, int width,
@@ -621,6 +733,49 @@ long unpack_unfold_range(const uint8_t* packed, long n_bytes, int width,
   if (width == 4)
     return unpack_unfold_impl<4>(packed, n_bytes, out, k, lo, counts, esc, esc_cap);
   return -1;
+}
+
+// Variant taking the precomputed canonical bitmask (build_canon_bits):
+// dispatches to the BMI2 pdep fast path when the CPU supports it, else the
+// scalar template. Requires lo % 8 == 0 (slice bounds are row-aligned).
+long unpack_unfold_range_fast(const uint8_t* packed, long n_bytes, int width,
+                              uint8_t* out, int k, uint64_t lo, long* counts,
+                              uint32_t* esc, long esc_cap,
+                              const uint8_t* canon_bits) {
+#if defined(__x86_64__)
+  if (canon_bits != nullptr && (lo % 8) == 0 &&
+      __builtin_cpu_supports("bmi2")) {
+    if (width == 2)
+      return unpack_unfold_bmi2<2>(packed, n_bytes, out, k, lo, counts, esc,
+                                   esc_cap, canon_bits);
+    if (width == 3)
+      return unpack_unfold_bmi2<3>(packed, n_bytes, out, k, lo, counts, esc,
+                                   esc_cap, canon_bits);
+    if (width == 4)
+      return unpack_unfold_bmi2<4>(packed, n_bytes, out, k, lo, counts, esc,
+                                   esc_cap, canon_bits);
+    return -1;
+  }
+#endif
+  return unpack_unfold_range(packed, n_bytes, width, out, k, lo, counts, esc,
+                             esc_cap);
+}
+
+void build_canon_bits(int k, uint8_t* bits_out, int threads) {
+#if defined(__x86_64__)
+  build_canon_bits_impl(k, bits_out, threads);
+#else
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t half = 1ULL << (bits - 1);
+  for (uint64_t b = 0; b < (half + 7) / 8; b++) {
+    uint8_t acc = 0;
+    for (int i = 0; i < 8 && b * 8 + i < half; i++)
+      if (b * 8 + i <= rc_code(b * 8 + i, bits)) acc |= (uint8_t)(1u << i);
+    bits_out[b] = acc;
+  }
+  (void)threads;
+#endif
 }
 
 }  // extern "C"

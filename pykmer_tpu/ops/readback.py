@@ -535,6 +535,13 @@ def preload_programs(kmer_len: int, dense_shape=None) -> None:
         dense_shape = (
             (fold_size // 128, 128) if fold_size % 128 == 0 else (fold_size,)
         )
+    try:
+        # host-side warm: the per-K canonical bitmask the fused unfold indexes
+        from ..io.native import canon_bits_cached
+
+        canon_bits_cached(kmer_len)
+    except ImportError:
+        pass
     if int(np.prod(dense_shape)) % _PACK_LANES:
         return
     dummy = jnp.zeros(dense_shape, dtype=jnp.uint8)

@@ -241,3 +241,55 @@ def test_unfold_range_matches_whole(rng):
         hi = min(half, lo + 1000)
         unfold_range(folded[lo:hi], out, kmer_len, lo)
     assert np.array_equal(out, expect)
+
+
+@pytest.mark.parametrize("width,escape", [(2, 3), (3, 7), (4, 15)])
+def test_native_fused_unfold_matches_numpy(rng, width, escape):
+    """The native fused readback tail (unpack + unfold + counts + escapes,
+    including the BMI2/pdep fast path when the CPU has it) must match the
+    reference semantics for every pack width, at aligned and unaligned lo."""
+    native = pytest.importorskip("pykmer_tpu.io.native")
+    from pykmer_tpu.ops.readback import _rc_codes_np
+
+    k = 7
+    size = 4**k
+    half = size // 2
+    folded = rng.poisson(1.5, half).clip(0, 255).astype(np.uint8)
+    stored = np.minimum(folded, escape)
+    if width == 2:
+        q = stored.reshape(-1, 4)
+        packed = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).astype(np.uint8)
+    elif width == 4:
+        q = stored.reshape(-1, 2)
+        packed = (q[:, 0] | (q[:, 1] << 4)).astype(np.uint8)
+    else:
+        g = stored.reshape(-1, 8).astype(np.uint32)
+        w = sum(g[:, i].astype(np.uint32) << np.uint32(3 * i) for i in range(8))
+        packed = np.stack([w & 255, (w >> 8) & 255, (w >> 16) & 255], 1).astype(np.uint8).reshape(-1)
+
+    u = np.arange(half, dtype=np.uint64)
+    canon = u <= _rc_codes_np(u, k)
+    expect = np.empty(size, np.uint8)
+    expect[:half] = np.where(canon, stored, 0)
+    expect[half:] = np.where(canon, 0, stored)[::-1]
+
+    out = np.zeros(size, np.uint8)
+    counts, esc_idx = native.unpack_unfold_native(packed, width, out, k, 0)
+    assert np.array_equal(out, expect)
+    assert np.array_equal(counts, np.bincount(stored, minlength=256))
+    assert np.array_equal(np.sort(esc_idx), np.flatnonzero(stored == escape))
+
+    # slice starting mid-plane (aligned to 8 cells -> fast path eligible)
+    cells_per_byte = 8 // width if width != 3 else None
+    lo = half // 2
+    n_bytes = len(packed) // 2
+    out2 = np.zeros(size, np.uint8)
+    c2, e2 = native.unpack_unfold_native(packed[len(packed) - n_bytes:], width, out2, k, lo)
+    expect2 = np.zeros(size, np.uint8)
+    tail = stored[lo:]
+    expect2[lo:half] = np.where(canon[lo:], tail, 0)
+    expect2[half : size - lo] = np.where(canon[lo:], 0, tail)[::-1]
+    assert np.array_equal(out2, expect2)
+    assert np.array_equal(c2, np.bincount(tail, minlength=256))
+    want_esc = np.flatnonzero(stored == escape)
+    assert np.array_equal(np.sort(e2.astype(np.int64)) + lo, want_esc[want_esc >= lo])
