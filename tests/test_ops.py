@@ -293,3 +293,30 @@ def test_native_fused_unfold_matches_numpy(rng, width, escape):
     assert np.array_equal(c2, np.bincount(tail, minlength=256))
     want_esc = np.flatnonzero(stored == escape)
     assert np.array_equal(np.sort(e2.astype(np.int64)) + lo, want_esc[want_esc >= lo])
+
+
+def test_stream_dense_to_out_with_predispatched_escapes(rng):
+    """`escapes=` (the indexer queues count_all_escapes behind the last
+    accumulate step) must select the same plane and produce identical output
+    as the internally-computed counts."""
+    from pykmer_tpu.formats.header import fast_counts256
+    from pykmer_tpu.ops.readback import (
+        count_all_escapes,
+        fetch_dense,
+        stream_dense_to_out,
+        unfold_canonical,
+    )
+
+    kmer_len = 9
+    half = 4**kmer_len // 2
+    folded_np = (rng.integers(0, 16, half, dtype=np.uint8)
+                 * (rng.random(half) < 0.5))
+    dense = jnp.asarray(folded_np.reshape(-1, 128))
+    expect = unfold_canonical(fetch_dense(dense, mode="raw"), kmer_len)
+    out = np.zeros(4**kmer_len, np.uint8)
+    counts = stream_dense_to_out(
+        dense, kmer_len, out, mode="auto", slice_bytes=1 << 14,
+        escapes=count_all_escapes(dense),
+    )
+    assert np.array_equal(out, expect)
+    assert np.array_equal(counts, fast_counts256(folded_np))
