@@ -118,7 +118,7 @@ def main() -> None:
     # bandwidth wanders ~3x on a minutes timescale, and the pipeline is
     # wire-dominated — the min-elapsed run is the standard noise reducer
     # (cf. timeit) and reflects steady-state service throughput
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     best = None
     for r in range(repeats):
         t0 = time.time()
