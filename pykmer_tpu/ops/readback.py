@@ -164,8 +164,11 @@ def unpack_2bit(packed: np.ndarray) -> np.ndarray:
 
 
 @jax.jit
-def _gather_cells(dense: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
-    return _as2d(dense)[rows, cols]
+def _gather_cells(dense: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather dense cells at flat folded indices (int32; divmod on device —
+    one index upload instead of separate row/col planes)."""
+    d2 = _as2d(dense)
+    return d2[idx // _PACK_LANES, idx % _PACK_LANES]
 
 
 def fetch_array_mt(
@@ -205,29 +208,27 @@ def fetch_array_mt(
     return out
 
 
-_GATHER_SMALL = 1 << 16
-_GATHER_BIG = 1 << 22
+_GATHER_SHAPES = (1 << 16, 1 << 20, 1 << 22)
 
 
 def _gather_batched(dense: jax.Array, idx: np.ndarray) -> np.ndarray:
     """Gather dense cells at flat (row-major) indices via fixed-shape device
     gathers.
 
-    Exactly two gather shapes exist ever (small/big, both preloadable):
-    padding to the next power of two minted a fresh executable per run, and
-    an in-band XLA compile + executable load over tunneled links costs tens
-    of seconds (measured 31 s mid-readback)."""
+    Exactly three gather shapes exist ever (all preloadable): padding to the
+    next power of two minted a fresh executable per run, and an in-band XLA
+    compile + executable load over tunneled links costs tens of seconds
+    (measured 31 s mid-readback). Indices upload once as int32 (4 B each;
+    the old separate int32 row/col planes were 2x that)."""
     n = idx.shape[0]
     out = np.empty(n, dtype=np.uint8)
     pos = 0
     while pos < n:
-        take = min(n - pos, _GATHER_BIG)
-        shape = _GATHER_SMALL if take <= _GATHER_SMALL else _GATHER_BIG
-        pad = np.zeros(shape, dtype=np.int64)
+        take = min(n - pos, _GATHER_SHAPES[-1])
+        shape = next(s for s in _GATHER_SHAPES if take <= s)
+        pad = np.zeros(shape, dtype=np.int32)
         pad[:take] = idx[pos : pos + take]
-        rows = jnp.asarray((pad // _PACK_LANES).astype(np.int32))
-        cols = jnp.asarray((pad % _PACK_LANES).astype(np.int32))
-        vals = np.asarray(_gather_cells(dense, rows, cols))
+        vals = np.asarray(_gather_cells(dense, jnp.asarray(pad)))
         out[pos : pos + take] = vals[:take]
         pos += take
     return out
@@ -548,10 +549,10 @@ def preload_programs(kmer_len: int, dense_shape=None) -> None:
     jax.block_until_ready(count_all_escapes(dummy))
     for fn in (pack_2bit, pack_3bit, pack_nibbles):
         jax.block_until_ready(fn(dummy))
-    # both fixed escape-gather shapes (the only ones _gather_batched emits)
-    for shape in (_GATHER_SMALL, _GATHER_BIG):
+    # every fixed escape-gather shape (the only ones _gather_batched emits)
+    for shape in _GATHER_SHAPES:
         zi = jnp.zeros(shape, dtype=jnp.int32)
-        jax.block_until_ready(_gather_cells(dummy, zi, zi))
+        jax.block_until_ready(_gather_cells(dummy, zi))
     del dummy
 
 
