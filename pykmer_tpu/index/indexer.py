@@ -170,43 +170,63 @@ def _iter_pipelined_chunks(
     once the generator is exhausted (i.e. after the accumulate loop)."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..io.native import fasta_decode_joined_native
-    from ..ops.encode import iter_chunks_packed_lazy
+    from ..io import native as _native
+    from ..ops.encode import iter_chunks_packed_lazy, iter_chunks_prepacked
 
     buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, np.uint8)
     bounds = _segment_record_bounds(buf, target_segment)
     headroom = config.chunk_windows + kmer_len
+    packed_decode = getattr(_native, "_HAVE_PACKED_DECODE", False)
 
     def decode(lo: int, hi: int):
         # 2 decode threads at low priority: the h2d transport is in-process
         # and CPU-bound on tunneled links — it must win the cores whenever
-        # both are runnable (decode has slack, transfers do not)
+        # both are runnable (decode has slack, transfers do not). The packed
+        # decode emits the device upload planes directly, so the dispatch
+        # loop below does ZERO packing work — chunks are views.
         from ..utils import renice_current_thread
 
         renice_current_thread(10)
-        return fasta_decode_joined_native(
+        if packed_decode:
+            res = _native.fasta_decode_joined_packed_native(
+                buf[lo:hi], kmer_len, threads=2, tail_headroom=headroom + 8
+            )
+            if res is not None:
+                return ("packed", res)
+        return ("codes", _native.fasta_decode_joined_native(
             buf[lo:hi], kmer_len, threads=2, tail_headroom=headroom
-        )
+        ))
 
     sink["chromosomes"] = []
     sink["total_bp"] = 0
     with ThreadPoolExecutor(1) as ex:
         fut = ex.submit(decode, *bounds[0])
         for i in range(len(bounds)):
-            stream, chroms, bp = fut.result()
+            kind, res = fut.result()
             if i + 1 < len(bounds):
                 fut = ex.submit(decode, *bounds[i + 1])
-            sink["chromosomes"].extend(chroms)
-            sink["total_bp"] += bp
-            if stream.shape[0] >= kmer_len:
-                padded, n_chunks = chunk_stream(
-                    stream, kmer_len, config.chunk_windows
-                )
-                yield from iter_chunks_packed_lazy(
-                    padded, kmer_len, config.chunk_windows, n_chunks
-                )
-                del padded
-            del stream
+            if kind == "packed":
+                bases, mask, n_codes, chroms, bp = res
+                sink["chromosomes"].extend(chroms)
+                sink["total_bp"] += bp
+                if n_codes >= kmer_len:
+                    yield from iter_chunks_prepacked(
+                        bases, mask, n_codes, kmer_len, config.chunk_windows
+                    )
+                del bases, mask
+            else:
+                stream, chroms, bp = res
+                sink["chromosomes"].extend(chroms)
+                sink["total_bp"] += bp
+                if stream.shape[0] >= kmer_len:
+                    padded, n_chunks = chunk_stream(
+                        stream, kmer_len, config.chunk_windows
+                    )
+                    yield from iter_chunks_packed_lazy(
+                        padded, kmer_len, config.chunk_windows, n_chunks
+                    )
+                    del padded
+                del stream
 
 
 def create_fasta_index(

@@ -423,3 +423,81 @@ def fasta_decode_joined_native(
     ]
     total_bp = int(seq_len[:n_recs].sum()) if n_recs else 0
     return codes[: out_len[0]], chromosomes, total_bp
+
+
+try:
+    _lib.fasta_decode_joined_packed_mt.restype = ctypes.c_long
+    _lib.fasta_decode_joined_packed_mt.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,  # data, n, k
+        ctypes.c_void_p, ctypes.c_void_p,               # bases, mask
+        ctypes.c_void_p, ctypes.c_void_p,               # seq_len, has_valid
+        ctypes.c_void_p, ctypes.c_void_p,               # name_off, name_len
+        ctypes.c_long, ctypes.c_void_p,                 # max_recs, out_len
+        ctypes.c_int, ctypes.c_void_p,                  # threads, scratch
+    ]
+    _HAVE_PACKED_DECODE = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_PACKED_DECODE = False
+
+
+def fasta_decode_joined_packed_native(
+    data, kmer_len: int, threads: int = 2, tail_headroom: int = 0
+):
+    """One-pass parse straight into the device upload planes.
+
+    Returns (bases2, maskbits, n_codes, chromosomes, total_bp) where
+    ``bases2``/``maskbits`` are the bit-packed planes covering the joined
+    stream (invalid separators/Ns carry mask 0), sized with enough tail
+    capacity for chunk framing up to ``n_codes + tail_headroom`` window
+    codes, zero-padded (= invalid) past ``n_codes``. The joined stream is
+    window-equivalent to :func:`fasta_decode_joined_native`'s (inter-thread
+    separators are padded to an 8-code boundary — extra invalid codes yield
+    no windows). None on record overflow or when the native layer lacks the
+    entry point."""
+    if not _HAVE_PACKED_DECODE:
+        return None
+    n = len(data)
+    if isinstance(data, np.ndarray):
+        buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
+    else:
+        buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
+    max_recs = (int(count256_native(buf)[ord(">")]) if n else 0) + 1
+    from ..utils.bigmem import big_empty
+
+    # worst-case codes: every byte a base + per-record aligned separators
+    cap = n + max_recs * (kmer_len - 1 + 8) + tail_headroom + 16
+    cap8 = (cap + 7) & ~7
+    scratch = big_empty(cap8)
+    bases = big_empty(cap8 // 4)
+    mask = big_empty(cap8 // 8)
+    seq_len = np.empty(max_recs, dtype=np.int64)
+    has_valid = np.empty(max_recs, dtype=np.uint8)
+    name_off = np.empty(max_recs, dtype=np.int64)
+    name_len = np.empty(max_recs, dtype=np.int64)
+    out_len = np.zeros(1, dtype=np.int64)
+    n_recs = _lib.fasta_decode_joined_packed_mt(
+        buf.ctypes.data if n else None, n, kmer_len, bases.ctypes.data,
+        mask.ctypes.data, seq_len.ctypes.data, has_valid.ctypes.data,
+        name_off.ctypes.data, name_len.ctypes.data,
+        max_recs, out_len.ctypes.data, threads, scratch.ctypes.data,
+    )
+    del scratch
+    if n_recs < 0:
+        return None
+    n_codes = int(out_len[0])
+    # zero (= invalid) the framing tail beyond the packed stream
+    total8 = (n_codes + 7) & ~7
+    bases[total8 // 4:] = 0
+    mask[total8 // 8:] = 0
+    chromosomes = [
+        (
+            buf[name_off[r] : name_off[r] + name_len[r]]
+            .tobytes()
+            .decode(errors="replace"),
+            int(seq_len[r]),
+        )
+        for r in range(n_recs)
+        if has_valid[r]
+    ]
+    total_bp = int(seq_len[:n_recs].sum()) if n_recs else 0
+    return bases, mask, n_codes, chromosomes, total_bp

@@ -247,3 +247,30 @@ def unpack_base_2bit(bases: "jax.Array", span: int) -> "jax.Array":
     """Mask-free variant for all-valid chunks (see mask_all_valid)."""
     shifts2 = jnp.arange(0, 8, 2, dtype=jnp.uint8)
     return ((bases[:, None] >> shifts2) & 3).reshape(-1)[:span]
+
+
+def iter_chunks_prepacked(
+    bases: np.ndarray,
+    mask: np.ndarray,
+    n_codes: int,
+    kmer_len: int,
+    chunk_windows: int,
+):
+    """Yield (bases2, maskbits-or-None) chunks as zero-copy VIEWS of
+    pre-packed planes (io.native.fasta_decode_joined_packed_native output:
+    planes invalid-padded past ``n_codes`` with capacity for the final
+    chunk's span). No per-chunk packing happens here at all — during the
+    dispatch loop the CPUs belong to the h2d transport."""
+    assert chunk_windows % 8 == 0
+    k = kmer_len
+    n_windows = max(n_codes - k + 1, 0)
+    n_chunks = max((n_windows + chunk_windows - 1) // chunk_windows, 1)
+    span = chunk_windows + k - 1
+    b_span = (span + 3) // 4
+    m_span = (span + 7) // 8
+    assert (n_chunks - 1) * chunk_windows // 4 + b_span <= bases.shape[0]
+    for c in range(n_chunks):
+        start = c * chunk_windows
+        b = bases[start // 4 : start // 4 + b_span]
+        m = mask[start // 8 : start // 8 + m_span]
+        yield b, (None if mask_all_valid(m, span) else m)
