@@ -450,10 +450,8 @@ def fasta_decode_joined_packed_native(
     stream (invalid separators/Ns carry mask 0), sized with enough tail
     capacity for chunk framing up to ``n_codes + tail_headroom`` window
     codes, zero-padded (= invalid) past ``n_codes``. The joined stream is
-    window-equivalent to :func:`fasta_decode_joined_native`'s (inter-thread
-    separators are padded to an 8-code boundary — extra invalid codes yield
-    no windows). None on record overflow or when the native layer lacks the
-    entry point."""
+    byte-identical to :func:`fasta_decode_joined_native`'s. None on record
+    overflow or when the native layer lacks the entry point."""
     if not _HAVE_PACKED_DECODE:
         return None
     n = len(data)

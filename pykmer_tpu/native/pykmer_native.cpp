@@ -999,15 +999,12 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
 // fasta_decode_joined_mt, but the joined stream is emitted directly as the
 // device upload format (2-bit bases, byte j bits [2i,2i+2) = base 4j+i;
 // validity bitmap, byte j bit i = base 8j+i valid) — the indexer uploads
-// these planes verbatim, so the 1 B/base intermediate codes stream and the
-// separate whole-stream pack pass disappear. Inter-thread separators are
-// padded so every thread's output starts at a multiple of 8 codes (byte
-// aligned in both planes; extra separator codes are invalid -> zero valid
-// windows added). Separators between a thread's own records stay k-1 wide
-// and are packed at arbitrary bit offsets inside the thread's region.
-// Returns n_recs or -1 on max_recs overflow; *codes_len_out = total codes
-// (callers size chunk framing off it; planes are zero/invalid padded to the
-// next byte).
+// these planes verbatim, so the separate whole-stream/per-chunk pack pass
+// disappears from the dispatch window. The stream is byte-identical to
+// fasta_decode_joined_mt's (it IS that stream, packed by parallel
+// 8-code-aligned ranges of the compacted result). Returns n_recs or -1 on
+// max_recs overflow; *codes_len_out = total codes (callers size chunk
+// framing off it; planes are invalid-padded to the next byte edge).
 #if defined(__x86_64__)
 __attribute__((target("bmi2")))
 static long pack_span_bmi2(const uint8_t* src, long n, uint8_t* bases,
