@@ -272,12 +272,16 @@ def unfold_canonical_range_native(
     )
 
 
-_lib.unpack_unfold_range.restype = ctypes.c_long
-_lib.unpack_unfold_range.argtypes = [
-    ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
-    ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
-    ctypes.c_long,
-]
+try:
+    _lib.unpack_unfold_range.restype = ctypes.c_long
+    _lib.unpack_unfold_range.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long,
+    ]
+    _HAVE_FUSED_UNFOLD = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_FUSED_UNFOLD = False
 try:
     _lib.unpack_unfold_range_fast.restype = ctypes.c_long
     _lib.unpack_unfold_range_fast.argtypes = \
@@ -322,6 +326,12 @@ def unpack_unfold_native(
     unpack/flatnonzero/count/unfold passes."""
     packed = np.ascontiguousarray(packed.reshape(-1))
     assert packed.dtype == np.uint8 and out.dtype == np.uint8
+    # whole 8-cell groups only: the BMI2 path iterates full groups (2/3/4
+    # bytes per 8 cells) and would silently drop a ragged tail that the
+    # scalar path processes — reject rather than diverge by CPU
+    bytes_per_group = {2: 2, 3: 3, 4: 4}[width]
+    assert packed.shape[0] % bytes_per_group == 0, \
+        f"packed length {packed.shape[0]} not a whole number of 8-cell groups"
     n_cells = packed.shape[0] * 8 // width
     assert lo + n_cells <= out.shape[0] // 2
     counts = np.zeros(256, dtype=np.int64)

@@ -219,14 +219,19 @@ def _gather_batched(dense: jax.Array, idx: np.ndarray) -> np.ndarray:
     next power of two minted a fresh executable per run, and an in-band XLA
     compile + executable load over tunneled links costs tens of seconds
     (measured 31 s mid-readback). Indices upload once as int32 (4 B each;
-    the old separate int32 row/col planes were 2x that)."""
+    the old separate int32 row/col planes were 2x that) — unless the folded
+    plane exceeds int32 indexing (K >= 17 forced onto the device strategy),
+    where int64 indices are required (numpy would otherwise downcast
+    silently and the gather would patch the wrong cells)."""
     n = idx.shape[0]
+    idt = (np.int64 if int(np.prod(dense.shape)) > np.iinfo(np.int32).max
+           else np.int32)
     out = np.empty(n, dtype=np.uint8)
     pos = 0
     while pos < n:
         take = min(n - pos, _GATHER_SHAPES[-1])
         shape = next(s for s in _GATHER_SHAPES if take <= s)
-        pad = np.zeros(shape, dtype=np.int32)
+        pad = np.zeros(shape, dtype=idt)
         pad[:take] = idx[pos : pos + take]
         vals = np.asarray(_gather_cells(dense, jnp.asarray(pad)))
         out[pos : pos + take] = vals[:take]
@@ -447,7 +452,10 @@ def stream_dense_to_out(
         t0 = _time.monotonic()
 
         try:
-            from ..io.native import unpack_unfold_native as _fused
+            from ..io import native as _n
+
+            _fused = (_n.unpack_unfold_native
+                      if getattr(_n, "_HAVE_FUSED_UNFOLD", False) else None)
         except ImportError:
             _fused = None
         width = {"2bit": 2, "3bit": 3, "packed": 4}.get(mode)
