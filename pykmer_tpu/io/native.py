@@ -366,6 +366,26 @@ def count256_native(arr: np.ndarray) -> np.ndarray:
     return out
 
 
+try:
+    _lib.count_byte.restype = ctypes.c_long
+    _lib.count_byte.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+    ]
+    _HAVE_COUNT_BYTE = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_COUNT_BYTE = False
+
+
+def _count_byte(buf: np.ndarray, value: int) -> int:
+    """Occurrences of one byte value (AVX2 memory-bandwidth pass when the
+    .so provides it; count256 histogram fallback)."""
+    if buf.shape[0] == 0:
+        return 0
+    if _HAVE_COUNT_BYTE:
+        return int(_lib.count_byte(buf.ctypes.data, buf.shape[0], value, 2))
+    return int(count256_native(buf)[value])
+
+
 _lib.fasta_decode_joined.restype = ctypes.c_long
 _lib.fasta_decode_joined.argtypes = [
     ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
@@ -396,9 +416,9 @@ def fasta_decode_joined_native(
         buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
     else:
         buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
-    # '>' count via the one-pass native bincount: a `buf == ord('>')` bool
+    # '>' count via a native single-byte pass: a `buf == ord('>')` bool
     # temp at GiB scale pays this environment's slow first-touch faults
-    max_recs = (int(count256_native(buf)[ord(">")]) if n else 0) + 1
+    max_recs = (_count_byte(buf, ord(">")) if n else 0) + 1
     from ..utils.bigmem import big_empty
 
     codes = big_empty(n + max_recs * (kmer_len - 1) + tail_headroom)
@@ -469,7 +489,7 @@ def fasta_decode_joined_packed_native(
         buf = np.ascontiguousarray(data.reshape(-1)).view(np.uint8)
     else:
         buf = np.frombuffer(data, dtype=np.uint8) if n else np.empty(0, np.uint8)
-    max_recs = (int(count256_native(buf)[ord(">")]) if n else 0) + 1
+    max_recs = (_count_byte(buf, ord(">")) if n else 0) + 1
     from ..utils.bigmem import big_empty
 
     # worst-case codes: every byte a base + per-record aligned separators

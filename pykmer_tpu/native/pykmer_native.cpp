@@ -22,6 +22,10 @@
 #include <vector>
 #include <zlib.h>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 inline bool is_strip_ws(uint8_t c) {
@@ -64,6 +68,97 @@ inline long decode_span(const uint8_t* data, long a, long b, uint8_t* dst) {
     dst += 2;
   }
   if (i < b) *dst = LUT.conv[data[i]];
+  return b - a;
+}
+
+// Valid-run state carried across the lines of one record: `run` = current
+// count of consecutive valid codes (runs span line boundaries — the decoded
+// stream is the concatenation of the record's lines), `ok` set once a run
+// reaches K. Fusing this into the decode replaces the separate
+// whole-record `finish_rec` pass the MT decoder used to make.
+struct RunState {
+  long run = 0;
+  uint8_t ok = 0;
+};
+
+#if defined(__x86_64__)
+// AVX2 decode: uppercase via &0xDF (clears only bit 5, so c&0xDF=='A' iff
+// c in {'A','a'} — exact), four compares build the code (A0 C1 G2 T3) and
+// the validity lane mask; invalid bytes blend to 4. Valid-run tracking
+// consumes the movemask: an all-valid block extends the run by 32; mixed
+// blocks (rare — N runs) walk the 32 bits scalar.
+__attribute__((target("avx2")))
+inline long decode_span_avx2(const uint8_t* data, long a, long b, uint8_t* dst,
+                             RunState& rs, long k) {
+  const __m256i up = _mm256_set1_epi8((char)0xDF);
+  const __m256i vA = _mm256_set1_epi8('A'), vC = _mm256_set1_epi8('C');
+  const __m256i vG = _mm256_set1_epi8('G'), vT = _mm256_set1_epi8('T');
+  const __m256i one = _mm256_set1_epi8(1), two = _mm256_set1_epi8(2);
+  const __m256i three = _mm256_set1_epi8(3), four = _mm256_set1_epi8(4);
+  long i = a;
+  long run = rs.run;
+  uint8_t ok = rs.ok;
+  for (; i + 32 <= b; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(data + i));
+    __m256i u = _mm256_and_si256(v, up);
+    __m256i eqA = _mm256_cmpeq_epi8(u, vA);
+    __m256i eqC = _mm256_cmpeq_epi8(u, vC);
+    __m256i eqG = _mm256_cmpeq_epi8(u, vG);
+    __m256i eqT = _mm256_cmpeq_epi8(u, vT);
+    __m256i valid = _mm256_or_si256(_mm256_or_si256(eqA, eqC),
+                                    _mm256_or_si256(eqG, eqT));
+    __m256i code = _mm256_or_si256(
+        _mm256_or_si256(_mm256_and_si256(eqC, one),
+                        _mm256_and_si256(eqG, two)),
+        _mm256_and_si256(eqT, three));
+    code = _mm256_blendv_epi8(four, code, valid);
+    _mm256_storeu_si256((__m256i*)(dst + (i - a)), code);
+    uint32_t m = (uint32_t)_mm256_movemask_epi8(valid);
+    if (m == 0xFFFFFFFFu) {
+      run += 32;
+      if (run >= k) ok = 1;
+    } else {
+      for (int bit = 0; bit < 32; bit++) {
+        if (m & (1u << bit)) {
+          if (++run >= k) ok = 1;
+        } else {
+          run = 0;
+        }
+      }
+    }
+  }
+  for (; i < b; i++) {
+    uint8_t c = LUT.conv[data[i]];
+    dst[i - a] = c;
+    if (c < 4) {
+      if (++run >= k) ok = 1;
+    } else {
+      run = 0;
+    }
+  }
+  rs.run = run;
+  rs.ok = ok;
+  return b - a;
+}
+
+const bool HAVE_AVX2 = __builtin_cpu_supports("avx2");
+#endif
+
+// decode_span + fused valid-run tracking (AVX2 fast path when available)
+inline long decode_span_rv(const uint8_t* data, long a, long b, uint8_t* dst,
+                           RunState& rs, long k) {
+#if defined(__x86_64__)
+  if (HAVE_AVX2) return decode_span_avx2(data, a, b, dst, rs, k);
+#endif
+  for (long i = a; i < b; i++) {
+    uint8_t c = LUT.conv[data[i]];
+    dst[i - a] = c;
+    if (c < 4) {
+      if (++rs.run >= k) rs.ok = 1;
+    } else {
+      rs.run = 0;
+    }
+  }
   return b - a;
 }
 
@@ -301,6 +396,62 @@ void count256(const uint8_t* data, long n, long* out) {
   for (int i = 0; i < 256; i++) out[i] = 0;
   for (auto& p : partial)
     for (int i = 0; i < 256; i++) out[i] += p[i];
+}
+
+// Count occurrences of one byte value (the decode wrappers only need the
+// '>' count to size the record tables; a full count256 histogram pass runs
+// ~1 GB/s where this runs at memory bandwidth).
+#if defined(__x86_64__)
+__attribute__((target("avx2")))
+static long count_byte_avx2(const uint8_t* data, long n, uint8_t value) {
+  const __m256i needle = _mm256_set1_epi8((char)value);
+  const __m256i zero = _mm256_setzero_si256();
+  long total = 0;
+  long i = 0;
+  const long vec_end = n & ~31L;
+  while (i < vec_end) {
+    // inner block: <= 255 iterations so 8-bit lane counters cannot wrap
+    const long block_end = std::min(vec_end, i + 255L * 32);
+    __m256i acc = zero;
+    for (; i < block_end; i += 32) {
+      __m256i v = _mm256_loadu_si256((const __m256i*)(data + i));
+      acc = _mm256_sub_epi8(acc, _mm256_cmpeq_epi8(v, needle));
+    }
+    __m256i sums = _mm256_sad_epu8(acc, zero);  // 4 x u64 lane sums
+    total += _mm256_extract_epi64(sums, 0) + _mm256_extract_epi64(sums, 1) +
+             _mm256_extract_epi64(sums, 2) + _mm256_extract_epi64(sums, 3);
+  }
+  for (; i < n; i++) total += (data[i] == value);
+  return total;
+}
+#endif
+
+long count_byte(const uint8_t* data, long n, int value, int threads) {
+  uint8_t v = (uint8_t)value;
+  if (threads < 1) threads = 1;
+  if (n < (1 << 20)) threads = 1;
+  std::vector<long> partial((size_t)threads, 0);
+  std::vector<std::thread> pool;
+  long per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([&, t, lo, hi] {
+#if defined(__x86_64__)
+      if (HAVE_AVX2) {
+        partial[t] = count_byte_avx2(data + lo, hi - lo, v);
+        return;
+      }
+#endif
+      long c = 0;
+      for (long i = lo; i < hi; i++) c += (data[i] == v);
+      partial[t] = c;
+    });
+  }
+  for (auto& th : pool) th.join();
+  long total = 0;
+  for (long p : partial) total += p;
+  return total;
 }
 
 // Pack a base-code stream (values 0..4) into nibbles, two bases per byte
@@ -919,18 +1070,11 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
       uint8_t* dst = buf.p;
       long len = 0;
       long rec = r0 - 1;  // current record index (r0's header comes first)
-      long rec_start = 0;  // offset of current record's codes in dst
       long pos = byte_lo;
+      RunState rs;  // fused valid-run tracking (>= k consecutive codes < 4,
+                    // runs span line boundaries within one record)
       auto finish_rec = [&] {
-        // valid-run detection as one branch-light pass over the record's
-        // decoded codes (exact semantics: >= k consecutive codes < 4)
-        if (rec < r0) return;
-        long run = 0, best = 0;
-        for (long i = rec_start; i < len; i++) {
-          run = (dst[i] < 4) ? run + 1 : 0;
-          best = run > best ? run : best;
-        }
-        rec_has_valid[rec] = best >= k;
+        if (rec >= r0) rec_has_valid[rec] = rs.ok;
       };
       while (pos < byte_hi) {
         const uint8_t* nl = (const uint8_t*)memchr(data + pos, '\n',
@@ -950,10 +1094,10 @@ long fasta_decode_joined_mt(const uint8_t* data, long n, long k,
             rec_name_off[rec] = a + 1;
             rec_name_len[rec] = b - (a + 1);
             rec_seq_len[rec] = 0;
-            rec_start = len;
+            rs = RunState();
           } else if (rec >= r0) {
             rec_seq_len[rec] += b - a;
-            len += decode_span(data, a, b, dst + len);
+            len += decode_span_rv(data, a, b, dst + len, rs, k);
           }
         }
         pos = eol + 1;
@@ -1028,6 +1172,42 @@ static long pack_span_bmi2(const uint8_t* src, long n, uint8_t* bases,
 }
 #endif
 
+#if defined(__x86_64__)
+// AVX2 pack: 32 codes -> 8 base-bytes + 4 mask-bytes per iteration.
+// 2-bit pack via two multiply-adds (byte = c0 + 4c1 + 16c2 + 64c3; invalid
+// code 4 & 3 = 0, matching the scalar "invalid packs as base 0" rule);
+// validity bitmap via one compare + movemask. Requires code_off % 8 == 0.
+__attribute__((target("avx2")))
+static long pack_span_avx2(const uint8_t* src, long n, uint8_t* bases,
+                           uint8_t* mask, long code_off) {
+  long i = 0;
+  long b2 = code_off / 4, mb = code_off / 8;
+  const __m256i three = _mm256_set1_epi8(3);
+  const __m256i four = _mm256_set1_epi8(4);
+  const __m256i mul1 = _mm256_set1_epi16(0x0401);    // pairs: c0 + 4*c1
+  const __m256i mul2 = _mm256_set1_epi32(0x00100001);  // quads: w0 + 16*w1
+  const __m256i shuf = _mm256_setr_epi8(
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+  for (; i + 32 <= n; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(src + i));
+    __m256i q = _mm256_and_si256(v, three);
+    __m256i w16 = _mm256_maddubs_epi16(q, mul1);
+    __m256i w32 = _mm256_madd_epi16(w16, mul2);
+    __m256i packed = _mm256_shuffle_epi8(w32, shuf);
+    uint32_t blo = (uint32_t)_mm256_extract_epi32(packed, 0);
+    uint32_t bhi = (uint32_t)_mm256_extract_epi32(packed, 4);
+    memcpy(bases + b2, &blo, 4);
+    memcpy(bases + b2 + 4, &bhi, 4);
+    uint32_t vm = ~(uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(v, four));
+    memcpy(mask + mb, &vm, 4);
+    b2 += 8;
+    mb += 4;
+  }
+  return i;
+}
+#endif
+
 static inline void pack_span(const uint8_t* src, long n, uint8_t* bases,
                              uint8_t* mask, long code_off) {
   // code_off is the global code index of src[0]; caller guarantees the
@@ -1035,8 +1215,13 @@ static inline void pack_span(const uint8_t* src, long n, uint8_t* bases,
   // at byte granularity boundaries it owns exclusively.
   long i = 0;
 #if defined(__x86_64__)
-  if (__builtin_cpu_supports("bmi2") && (code_off % 8) == 0)
+  if (HAVE_AVX2 && (code_off % 8) == 0) {
+    i = pack_span_avx2(src, n, bases, mask, code_off);
+    if (i < n && __builtin_cpu_supports("bmi2"))
+      i += pack_span_bmi2(src + i, n - i, bases, mask, code_off + i);
+  } else if (__builtin_cpu_supports("bmi2") && (code_off % 8) == 0) {
     i = pack_span_bmi2(src, n, bases, mask, code_off);
+  }
 #endif
   for (; i < n; i++) {
     uint8_t c = src[i];
