@@ -122,6 +122,21 @@ def _decode_joined_bytes(data, kmer_len: int, tail_headroom: int = 0):
     return _concat_records(decode_fasta_bytes(data), kmer_len)
 
 
+def _find_record_start(buf: np.ndarray, start: int, limit: int) -> Optional[int]:
+    """First record start (a ``>`` preceded by ``\\n``) in [start+1, limit),
+    scanning pairs whose bytes both lie in [start, limit). None if absent."""
+    p = start
+    win = 8 << 20
+    while p < limit - 1:
+        w = buf[p : min(p + win, limit)]
+        hits = np.flatnonzero(w[1:] == ord(">"))
+        for h in hits:
+            if w[h] == ord("\n"):
+                return p + int(h) + 1
+        p += w.shape[0] - 1
+    return None
+
+
 def _segment_record_bounds(buf: np.ndarray, target: int) -> List[Tuple[int, int]]:
     """Split a raw FASTA byte buffer into ~``target``-byte segments at record
     starts (a ``>`` at a line start).
@@ -134,25 +149,126 @@ def _segment_record_bounds(buf: np.ndarray, target: int) -> List[Tuple[int, int]
     starts = [0]
     pos = target
     while pos < n:
-        # next b"\n>" at or after pos-1 (scan in windows; '>' is rare)
-        found = None
-        p = pos - 1
-        while p < n - 1:
-            w = buf[p : p + (8 << 20)]
-            hits = np.flatnonzero(w[1:] == ord(">"))
-            for h in hits:
-                if w[h] == ord("\n"):
-                    found = p + int(h) + 1
-                    break
-            if found is not None:
-                break
-            p += (8 << 20) - 1
+        found = _find_record_start(buf, pos - 1, n)
         if found is None:
             break
         starts.append(found)
         pos = found + target
     return [(starts[i], starts[i + 1] if i + 1 < len(starts) else n)
             for i in range(len(starts))]
+
+
+class _StreamingInput:
+    """Background O_DIRECT read of a plain FASTA file into one pooled buffer.
+
+    The segment pipeline chases the reader (``wait_until(pos)`` blocks until
+    ``pos`` bytes are resident) and the provenance sha256 chases it too, so
+    the disk read, the input hash, the decode threads, and the device uploads
+    all overlap — the prior up-front whole-file read cost 0.4–4.6 s of dead
+    serial time depending on disk weather. All background work runs at
+    nice+10 so the h2d transport owns the cores whenever it is runnable."""
+
+    def __init__(self, path: str, extent: int = 64 << 20):
+        import threading
+
+        from ..utils.bigmem import big_empty
+
+        self.size = os.path.getsize(path)
+        self.buf = big_empty(max(self.size, 1))[: self.size]
+        self._path = path
+        self._extent = extent
+        self._cond = threading.Condition()
+        self._filled = 0
+        self._exc: Optional[BaseException] = None
+        self._sha_hex: Optional[str] = None
+        self._reader = threading.Thread(target=self._read, daemon=True)
+        self._reader.start()
+        self._hasher = threading.Thread(target=self._hash, daemon=True)
+        self._hasher.start()
+
+    def _read(self) -> None:
+        from ..io.direct import DirectReader, pread_into_mt
+        from ..utils import renice_current_thread
+
+        renice_current_thread(10)
+        try:
+            with DirectReader(self._path) as rd:
+                pos = 0
+                while pos < self.size:
+                    hi = min(self.size, pos + self._extent)
+                    got = pread_into_mt(
+                        rd, self.buf[pos:hi], pos, threads=2, chunk=32 << 20
+                    )
+                    if got != hi - pos:
+                        raise IOError(
+                            f"{self._path}: short read at {pos} ({got} bytes)"
+                        )
+                    with self._cond:
+                        self._filled = hi
+                        self._cond.notify_all()
+                    pos = hi
+        except BaseException as exc:  # surfaced by wait_until
+            with self._cond:
+                self._exc = exc
+                self._cond.notify_all()
+
+    def _hash(self) -> None:
+        import hashlib
+
+        from ..utils import renice_current_thread
+
+        renice_current_thread(10)
+        h = hashlib.sha256()
+        pos = 0
+        while pos < self.size:
+            hi = min(self.size, pos + (32 << 20))
+            try:
+                self.wait_until(hi)
+            except BaseException:
+                return  # reader failed; wait_until reports it to the pipeline
+            h.update(self.buf[pos:hi])
+            pos = hi
+        self._sha_hex = h.hexdigest()
+
+    def filled(self) -> int:
+        with self._cond:
+            return self._filled
+
+    def wait_until(self, pos: int) -> None:
+        with self._cond:
+            while self._filled < pos and self._exc is None:
+                self._cond.wait()
+            if self._exc is not None and self._filled < pos:
+                raise self._exc
+
+    def input_checksum(self) -> str:
+        self._hasher.join()
+        if self._sha_hex is None:
+            self.wait_until(self.size)  # raises the reader's error
+            raise RuntimeError(f"{self._path}: input hash thread died")
+        return self._sha_hex
+
+
+def _iter_segments_streaming(stream: _StreamingInput, target: int):
+    """Yield (lo, hi) record-aligned segment bounds, chasing the reader."""
+    size = stream.size
+    lo = 0
+    while lo < size:
+        scan_from = min(size, lo + target) - 1
+        found = None
+        while found is None:
+            avail = stream.filled()
+            stream.wait_until(min(size, max(avail, scan_from + (8 << 20))))
+            avail = stream.filled()
+            found = _find_record_start(stream.buf, scan_from, avail)
+            if found is None:
+                if avail >= size:
+                    break
+                # a boundary pair may straddle the fill point: rescan from it
+                scan_from = max(scan_from, avail - 1)
+        hi = found if found is not None else size
+        yield (lo, hi)
+        lo = hi
 
 
 def _iter_pipelined_chunks(
@@ -164,7 +280,10 @@ def _iter_pipelined_chunks(
 ):
     """Yield packed device chunks while the NEXT segment decodes on a
     background thread — FASTA decode overlaps device upload/compute instead
-    of running as a serial up-front stage.
+    of running as a serial up-front stage. ``data`` may be bytes, an ndarray,
+    or a :class:`_StreamingInput` (in which case the disk read overlaps too,
+    and segment boundaries are discovered as bytes arrive — the wait happens
+    on the decode worker, never the dispatch thread).
 
     ``sink`` receives "chromosomes" (list) and "total_bp" (int), complete
     once the generator is exhausted (i.e. after the accumulate loop)."""
@@ -173,12 +292,18 @@ def _iter_pipelined_chunks(
     from ..io import native as _native
     from ..ops.encode import iter_chunks_packed_lazy, iter_chunks_prepacked
 
-    buf = data if isinstance(data, np.ndarray) else np.frombuffer(data, np.uint8)
-    bounds = _segment_record_bounds(buf, target_segment)
+    if isinstance(data, _StreamingInput):
+        buf = data.buf
+        seg_iter = _iter_segments_streaming(data, target_segment)
+    else:
+        buf = data if isinstance(data, np.ndarray) else np.frombuffer(
+            data, np.uint8
+        )
+        seg_iter = iter(_segment_record_bounds(buf, target_segment))
     headroom = config.chunk_windows + kmer_len
     packed_decode = getattr(_native, "_HAVE_PACKED_DECODE", False)
 
-    def decode(lo: int, hi: int):
+    def decode_next():
         # 2 decode threads at low priority: the h2d transport is in-process
         # and CPU-bound on tunneled links — it must win the cores whenever
         # both are runnable (decode has slack, transfers do not). The packed
@@ -187,6 +312,10 @@ def _iter_pipelined_chunks(
         from ..utils import renice_current_thread
 
         renice_current_thread(10)
+        seg = next(seg_iter, None)  # streaming: may block for disk bytes
+        if seg is None:
+            return None
+        lo, hi = seg
         if packed_decode:
             res = _native.fasta_decode_joined_packed_native(
                 buf[lo:hi], kmer_len, threads=2, tail_headroom=headroom + 8
@@ -200,11 +329,13 @@ def _iter_pipelined_chunks(
     sink["chromosomes"] = []
     sink["total_bp"] = 0
     with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(decode, *bounds[0])
-        for i in range(len(bounds)):
-            kind, res = fut.result()
-            if i + 1 < len(bounds):
-                fut = ex.submit(decode, *bounds[i + 1])
+        fut = ex.submit(decode_next)
+        while True:
+            nxt = fut.result()
+            if nxt is None:
+                break
+            fut = ex.submit(decode_next)
+            kind, res = nxt
             if kind == "packed":
                 bases, mask, n_codes, chroms, bp = res
                 sink["chromosomes"].extend(chroms)
@@ -266,49 +397,67 @@ def create_fasta_index(
 
     stages = StageTimer()
     timer = header.timer
-    raw: dict = {}
-    with stages.stage("input read"):
-        from ..io.fasta import open_input_bytes
-
-        data = open_input_bytes(input_file)
-    if input_file is not None and not input_file.endswith((".gz", ".bgz")):
-        raw["bytes"] = data
-
-    # input checksum in a background thread (hashlib releases the GIL):
-    # overlaps the device accumulate + fetch phases; plain files hash the
-    # buffer already in memory instead of paying a second cold disk read
-    import threading
-
-    from ..utils.checksum import sha256_file
-
-    input_ck: dict = {}
-
-    def _hash_input() -> None:
-        from ..utils import renice_current_thread
-
-        renice_current_thread(10)  # background provenance work: yield to transfers
-        if "bytes" in raw:
-            import hashlib as _hashlib
-
-            input_ck["hex"] = _hashlib.sha256(raw["bytes"]).hexdigest()
-            del raw["bytes"]
-        else:
-            input_ck["hex"] = sha256_file(header.input_file_path)
-
-    ck_thread = threading.Thread(target=_hash_input, daemon=True)
-    ck_thread.start()
 
     strategy = config.accumulate
     if strategy == "auto":
         # dense uint8 + sort workspace must fit HBM comfortably
         strategy = "device" if data_size <= (4 << 30) else "host"
 
-    pipelined = strategy == "device" and len(data) > 0
-    if pipelined:
-        try:
-            from ..io.native import fasta_decode_joined_native  # noqa: F401
-        except ImportError:
-            pipelined = False
+    have_native = True
+    try:
+        from ..io.native import fasta_decode_joined_native  # noqa: F401
+    except ImportError:
+        have_native = False
+
+    plain = input_file is not None and not input_file.endswith((".gz", ".bgz"))
+    streaming = (
+        strategy == "device"
+        and have_native
+        and plain
+        and os.path.getsize(input_file) > 0
+    )
+
+    import threading
+
+    instream: Optional[_StreamingInput] = None
+    ck_thread: Optional[threading.Thread] = None
+    input_ck: dict = {}
+    if streaming:
+        # the reader + input-hash threads start here; decode and device
+        # uploads chase them (no up-front whole-file read stage)
+        with stages.stage("input read"):
+            instream = _StreamingInput(input_file)
+        data = instream
+        pipelined = True
+    else:
+        raw: dict = {}
+        with stages.stage("input read"):
+            from ..io.fasta import open_input_bytes
+
+            data = open_input_bytes(input_file)
+        if plain:
+            raw["bytes"] = data
+
+        # input checksum in a background thread (hashlib releases the GIL):
+        # overlaps the device accumulate + fetch phases; plain files hash the
+        # buffer already in memory instead of paying a second cold disk read
+        from ..utils.checksum import sha256_file
+
+        def _hash_input() -> None:
+            from ..utils import renice_current_thread
+
+            renice_current_thread(10)  # provenance work: yield to transfers
+            if "bytes" in raw:
+                import hashlib as _hashlib
+
+                input_ck["hex"] = _hashlib.sha256(raw["bytes"]).hexdigest()
+                del raw["bytes"]
+            else:
+                input_ck["hex"] = sha256_file(header.input_file_path)
+
+        ck_thread = threading.Thread(target=_hash_input, daemon=True)
+        ck_thread.start()
+        pipelined = strategy == "device" and have_native and len(data) > 0
 
     from ..utils.keepalive import d2h_keepalive
 
@@ -425,7 +574,11 @@ def create_fasta_index(
                           file=_sys.stderr)
             del out
     with stages.stage("metadata"):
-        ck_thread.join()
+        if ck_thread is not None:
+            ck_thread.join()
+        elif instream is not None:
+            input_ck["hex"] = instream.input_checksum()
+            instream = None  # release the input buffer back to the pool
         header.write_metadata(
             tmp,
             stats_counts256=counts,

@@ -213,3 +213,57 @@ def test_pipelined_multisegment_matches_oracle(tmp_path, rng, monkeypatch):
     assert ours_meta["num_kmers"] == oracle_meta["num_kmers"]
     assert ours_meta["hist"] == oracle_meta["hist"]
     assert ours_meta["chromosomes"] == oracle_meta["chromosomes"]
+
+def test_streaming_input_segments_match_offline(tmp_path, rng):
+    """Segment bounds discovered while chasing a (tiny-extent) background
+    reader == the offline whole-buffer split."""
+    from pykmer_tpu.index import indexer as idx
+
+    fasta = make_random_fasta(str(tmp_path / "chase.fa"), rng, n_records=60,
+                              lengths=(700, 133, 67))
+    buf = np.fromfile(fasta, dtype=np.uint8)
+    want = idx._segment_record_bounds(buf, target=2000)
+    stream = idx._StreamingInput(fasta, extent=512)
+    got = list(idx._iter_segments_streaming(stream, target=2000))
+    assert got == want
+    assert np.array_equal(stream.buf, buf)
+    assert len(stream.input_checksum()) == 64
+
+
+def test_streaming_index_matches_gzip_path(tmp_path, rng):
+    """Plain-file indexing (streaming reader path) is byte-identical to
+    indexing the gzipped copy of the same content (whole-read path)."""
+    import gzip as _gzip
+
+    from pykmer_tpu.index import indexer as idx
+
+    try:
+        import pykmer_tpu.io.native  # noqa: F401
+    except ImportError:
+        pytest.skip("native decode unavailable")
+
+    fasta = make_random_fasta(str(tmp_path / "sp.fa"), rng, n_records=30,
+                              lengths=(900, 133, 67))
+    with open(fasta, "rb") as fh:
+        raw = fh.read()
+    gz = str(tmp_path / "sp2.fa.gz")
+    with _gzip.open(gz, "wb") as fh:
+        fh.write(raw)
+
+    kmer_len = 7
+    cfg = IndexConfig(kmer_len=kmer_len, chunk_windows=1000)
+    h1 = create_fasta_index(fasta, "s", fasta, kmer_len, config=cfg,
+                            verbose=False)
+    h2 = create_fasta_index(gz, "s", gz, kmer_len, config=cfg, verbose=False)
+    assert _file_bytes(h1.index_file_root) == _file_bytes(h2.index_file_root)
+    with open(h1.metadata_file) as fh:
+        m1 = json.load(fh)
+    with open(h2.metadata_file) as fh:
+        m2 = json.load(fh)
+    for key in ("num_kmers", "hist", "vals_sum", "vals_count",
+                "output_file_cheksum"):
+        assert m1[key] == m2[key], key
+    # the plain path's input checksum must be the real file sha256
+    import hashlib
+
+    assert m1["input_file_cheksum"] == hashlib.sha256(raw).hexdigest()
