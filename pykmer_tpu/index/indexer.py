@@ -249,8 +249,14 @@ class _StreamingInput:
         return self._sha_hex
 
 
-def _iter_segments_streaming(stream: _StreamingInput, target: int):
-    """Yield (lo, hi) record-aligned segment bounds, chasing the reader."""
+def _iter_segments_streaming(
+    stream: _StreamingInput, target: int, wait_slack: int = 8 << 20
+):
+    """Yield (lo, hi) record-aligned segment bounds, chasing the reader.
+
+    ``wait_slack`` is how far past the scan point each wait asks the reader
+    to fill (kept injectable so tests can force the partial-fill rescan
+    branch with tiny files)."""
     size = stream.size
     lo = 0
     while lo < size:
@@ -258,7 +264,7 @@ def _iter_segments_streaming(stream: _StreamingInput, target: int):
         found = None
         while found is None:
             avail = stream.filled()
-            stream.wait_until(min(size, max(avail, scan_from + (8 << 20))))
+            stream.wait_until(min(size, max(avail, scan_from + wait_slack)))
             avail = stream.filled()
             found = _find_record_start(stream.buf, scan_from, avail)
             if found is None:
@@ -511,6 +517,15 @@ def create_fasta_index(
         if num_kmers == 0:
             raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
         del data
+        if instream is not None:
+            # all input is consumed (the num_kmers sync drained dispatch) and
+            # the hash thread trails the finished disk read by well under a
+            # second — capture the provenance hash NOW and release the input
+            # block back to the pool BEFORE the output plane allocates, so
+            # the pool hands the same physical block straight back instead of
+            # MAP_POPULATE-ing a fresh GiB while the input stays pinned
+            input_ck["hex"] = instream.input_checksum()
+            instream = None
         if verbose:
             print(f"  records {len(chromosomes):7,d} bp {total_bp:15,d}")
         if total_bp >= PRINT_EVERY:
@@ -576,9 +591,6 @@ def create_fasta_index(
     with stages.stage("metadata"):
         if ck_thread is not None:
             ck_thread.join()
-        elif instream is not None:
-            input_ck["hex"] = instream.input_checksum()
-            instream = None  # release the input buffer back to the pool
         header.write_metadata(
             tmp,
             stats_counts256=counts,

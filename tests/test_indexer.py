@@ -230,6 +230,38 @@ def test_streaming_input_segments_match_offline(tmp_path, rng):
     assert len(stream.input_checksum()) == 64
 
 
+def test_streaming_segments_partial_fill_rescan(tmp_path, rng, monkeypatch):
+    """Force the partial-fill rescan branch: a tiny wait slack + odd-sized
+    read extents mean the scanner repeatedly reaches the fill point without
+    finding a boundary (records are longer than the slack) and must rescan
+    from ``avail - 1`` — including fill points that land INSIDE a ``\\n>``
+    pair. The default 8 MB slack never exercises this on small files."""
+    from pykmer_tpu.index import indexer as idx
+
+    # long records => multi-KB gaps between boundaries, far above the slack
+    fasta = make_random_fasta(str(tmp_path / "rescan.fa"), rng, n_records=8,
+                              lengths=(2500, 400, 0))
+    buf = np.fromfile(fasta, dtype=np.uint8)
+    want = idx._segment_record_bounds(buf, target=1000)
+
+    scans = {"n": 0}
+    real_find = idx._find_record_start
+
+    def counting_find(b, lo, hi):
+        scans["n"] += 1
+        return real_find(b, lo, hi)
+
+    monkeypatch.setattr(idx, "_find_record_start", counting_find)
+    # extent=7 (odd) guarantees some fill points split a "\n>" pair
+    stream = idx._StreamingInput(fasta, extent=7)
+    got = list(idx._iter_segments_streaming(stream, target=1000,
+                                            wait_slack=1))
+    assert got == want
+    assert np.array_equal(stream.buf, buf)
+    # every segment beyond the first needed many partial-window rescans
+    assert scans["n"] > 4 * len(want)
+
+
 def test_streaming_index_matches_gzip_path(tmp_path, rng):
     """Plain-file indexing (streaming reader path) is byte-identical to
     indexing the gzipped copy of the same content (whole-read path)."""
