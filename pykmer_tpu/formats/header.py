@@ -178,16 +178,20 @@ class KinHeader:
         self.vals_min: Optional[int] = None
         self.vals_max: Optional[int] = None
 
+        self.frag_size: Optional[int] = None
         if index_file is not None:
             self._adopt_index_file_name(index_file)
-            self.read_metadata()
+            self.read_metadata()  # may set frag_size from the stored JSON
 
         if not self.kmer_len or self.kmer_len <= 0 or self.kmer_len % 2 != 1:
             raise ValueError(f"kmer_len must be a positive odd int, got {self.kmer_len}")
 
         if frag_size is not None:
             self.frag_size = frag_size
-        else:
+        elif self.frag_size is None:
+            # autotune only when neither the caller nor loaded metadata set
+            # it — clobbering the stored value would make a re-serialized
+            # header diverge from the .kin.json on disk
             self.frag_size = frag_size_autotune(
                 self.data_size, min_frag_size, max_frag_size
             )

@@ -269,6 +269,7 @@ def iter_chunks_prepacked(
     b_span = (span + 3) // 4
     m_span = (span + 7) // 8
     assert (n_chunks - 1) * chunk_windows // 4 + b_span <= bases.shape[0]
+    assert (n_chunks - 1) * chunk_windows // 8 + m_span <= mask.shape[0]
     for c in range(n_chunks):
         start = c * chunk_windows
         b = bases[start // 4 : start // 4 + b_span]

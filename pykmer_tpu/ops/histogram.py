@@ -76,7 +76,12 @@ def make_accumulate_fn(data_size: int) -> Callable:
 
 
 def counts256_from_dense(dense) -> "np.ndarray":
-    """256-bin value histogram of the dense array (host-side numpy)."""
+    """256-bin value histogram of the dense array (host-side numpy).
+
+    Delegates to formats.header.fast_counts256 — np.bincount on a GiB-scale
+    uint8 plane materialises an 8x int64 cast (60+ s at 4^15)."""
     import numpy as np
 
-    return np.bincount(np.asarray(dense), minlength=256)
+    from ..formats.header import fast_counts256
+
+    return fast_counts256(np.asarray(dense).reshape(-1))

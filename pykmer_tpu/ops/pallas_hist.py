@@ -149,6 +149,20 @@ def accumulate_sorted_pallas(
     r, lanes = dense2d.shape
     tile_rows = min(tile_rows, r)
     assert lanes == LANES and r % tile_rows == 0
+    # all index math (codes, searchsorted bounds, DMA offsets) is int32
+    if r * LANES > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"pallas sweep indexes the plane in int32; {r * LANES} cells "
+            "exceed int32 range (K>=17 folded) — use the XLA histogram path"
+        )
+    # the alignment mask `start & ~(block-1)` and pl.multiple_of claims
+    # require a power-of-two block; on real hardware Mosaic additionally
+    # rejects dynamic VMEM slices below the (1024,) int32 tile (interpret
+    # mode has no such constraint — tests use tiny blocks there)
+    if block & (block - 1) or (not interpret and block < 1024):
+        raise ValueError(
+            f"block must be a power of two (>= 1024 on hardware), got {block}"
+        )
     n_tiles = r // tile_rows
     m = sorted_codes.shape[0]
 
@@ -210,6 +224,13 @@ def saturating_accumulate_tiled(
     """Drop-in replacement for ops.histogram.saturating_accumulate using the
     Pallas sweep (dense [D] uint8, D % (tile_rows*128) == 0)."""
     d = dense.shape[0]
+    if max(d, sentinel) > np.iinfo(np.int32).max:
+        # codes are cast to int32 below: a >=2^31 sentinel would wrap
+        # negative, sort FIRST, and be silently counted into tile 0
+        raise ValueError(
+            f"pallas sweep is int32-indexed (plane {d}, sentinel {sentinel})"
+            " — K>=17 folded planes must use the XLA histogram path"
+        )
     tile_rows = min(tile_rows, max(d // LANES, 1))
     sorted_codes = jnp.sort(codes.astype(jnp.int32))
     num_valid = (codes < sentinel).sum(dtype=jnp.int64)

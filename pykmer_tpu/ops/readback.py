@@ -13,10 +13,12 @@ end-to-end indexing time at K>=15. Two independent reductions:
    is ∝ the escape count. Mode auto-selects from device-side escape counts
    (raw fallback for small/saturated arrays).
 
-2. **Multi-stream fetch.** The transfer is split into ~16 MiB row slices
-   fetched by a thread pool into a preallocated host buffer — the measured
-   sweet spot for the tunnel (a lone `np.asarray` on 256 MB runs at ~1 MB/s;
-   16 MiB x 16 threads runs at ~50 MB/s).
+2. **Multi-stream fetch.** The transfer is split into SLICE_BYTES row
+   slices fetched by a thread pool into a preallocated host buffer (a lone
+   `np.asarray` on 256 MB runs at ~1 MB/s; many concurrent mid-size slices
+   reach ~50 MB/s). 16 MiB was the sweet spot for raw whole-plane fetches;
+   the packed two-phase path below re-measured best at 4 MiB (more slices
+   keep every stream busy during the CPU-idle drain), hence SLICE_BYTES.
 
 All device programs here work on a [rows, 256] 2D view: giant 1D programs
 (2^30 elements) trigger pathological XLA TPU compile times.
@@ -364,13 +366,14 @@ def stream_dense_to_out(
     escapes=None,
 ) -> np.ndarray:
     """Fetch the folded device plane and expand it straight into ``out``
-    (uint8[4^K]), overlapping the d2h slice transfers with host-side unpack +
-    escape patch + unfold: each fetch worker finishes its slice end-to-end,
-    so transfer wait hides the CPU work (and the folded plane is never
-    materialised whole on the host). With ``fd``, each worker also pwrites
-    its two finished output regions to the file, so disk I/O overlaps the
-    transfers too (mmap-backed file writes are NOT used: file page faults
-    run ~3 MB/s in this environment, pwrite ~80 MB/s).
+    (uint8[4^K]) in two phases: (1) drain all packed slice transfers with
+    the CPUs otherwise idle — the tunnel transport is in-process and
+    CPU-bound, so concurrent host work starves it ~10x — then (2) unpack +
+    escape scan + stats + unfold on all cores, and one batched device
+    gather patches every escape cell. The folded plane is never
+    materialised whole on the host. With ``fd``, the finished plane is
+    bulk-pwritten before returning (callers wanting disk/hash overlap — the
+    indexer — pass fd=None and run their own write thread).
 
     Returns the exact 256-bin counts of the folded plane (int64[256])."""
     from ..formats.header import fast_counts256
@@ -557,9 +560,14 @@ def preload_programs(kmer_len: int, dense_shape=None) -> None:
     jax.block_until_ready(count_all_escapes(dummy))
     for fn in (pack_2bit, pack_3bit, pack_nibbles):
         jax.block_until_ready(fn(dummy))
-    # every fixed escape-gather shape (the only ones _gather_batched emits)
+    # every fixed escape-gather shape (the only ones _gather_batched emits),
+    # in the index dtype _gather_batched will actually pick for this plane
+    # (int64 once the plane exceeds int32 indexing, K >= 17) — warming the
+    # wrong dtype would leave the first real patch paying the in-band load
+    idt = (jnp.int64 if int(np.prod(dense_shape)) > np.iinfo(np.int32).max
+           else jnp.int32)
     for shape in _GATHER_SHAPES:
-        zi = jnp.zeros(shape, dtype=jnp.int32)
+        zi = jnp.zeros(shape, dtype=idt)
         jax.block_until_ready(_gather_cells(dummy, zi))
     del dummy
 

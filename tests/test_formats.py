@@ -111,3 +111,26 @@ def test_header_json_roundtrip(tmp_path):
         ["file_ver", "kmer_size", "data_size", "max_size"]
         + [k for k in meta if k not in ("file_ver", "kmer_size", "data_size", "max_size")]
     )
+
+
+def test_custom_frag_size_survives_reload(tmp_path):
+    """A non-default frag_size stored in .kin.json must NOT be clobbered by
+    the autotuner when the header is reconstructed from the index file."""
+    input_file = str(tmp_path / "g2.fa")
+    with open(input_file, "w") as fh:
+        fh.write(">r\nACGTACGT\n")
+    header = KinHeader("proj", input_file=input_file, kmer_len=3,
+                       frag_size=7)
+    dense = np.zeros(64, dtype=np.uint8)
+    dense[3] = 2
+    kinfmt.write_kin_array(header.index_tmp_file, dense)
+    header.num_kmers = 1
+    header.chromosomes = [("r", 8)]
+    header.write_metadata(header.index_tmp_file,
+                          stats_counts256=np.bincount(dense, minlength=256))
+    os.rename(header.index_tmp_file, header.index_file_root)
+
+    again = KinHeader("proj", index_file=header.index_file_root)
+    assert again.frag_size == 7
+    # re-serialization must match the stored JSON, not a re-autotuned value
+    assert again.to_dict()["frag_size"] == 7

@@ -134,3 +134,31 @@ def test_fetch_dense_packed_no_escapes(rng):
     host = rng.integers(0, 15, size=2048).astype(np.uint8)
     dense = jnp.asarray(host)
     assert np.array_equal(fetch_dense(dense, mode="packed"), host)
+
+
+def test_pallas_rejects_int32_overflow():
+    """Planes/sentinels beyond int32 (K>=17 folded) must raise, not silently
+    wrap codes negative and corrupt tile 0."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pykmer_tpu.ops.pallas_hist import saturating_accumulate_tiled
+
+    dense = jnp.zeros(1024, dtype=jnp.uint8)
+    codes = jnp.zeros(8, dtype=jnp.int64)
+    with pytest.raises(ValueError, match="int32"):
+        saturating_accumulate_tiled(dense, codes, sentinel=4**17 // 2,
+                                    interpret=True)
+
+
+def test_pallas_rejects_non_pow2_block():
+    import jax.numpy as jnp
+    import pytest
+
+    from pykmer_tpu.ops.pallas_hist import saturating_accumulate_tiled
+
+    dense = jnp.zeros(1024, dtype=jnp.uint8)
+    codes = jnp.zeros(8, dtype=jnp.int64)
+    with pytest.raises(ValueError, match="power of two"):
+        saturating_accumulate_tiled(dense, codes, sentinel=1024, block=24,
+                                    interpret=True)
