@@ -169,9 +169,12 @@ def decode_fasta_bytes(data) -> List[FastaRecord]:
     records: List[FastaRecord] = []
     for r in range(header_gt.size):
         name_bytes = buf[header_gt[r] + 1 : header_end[r]].tobytes()
-        name = name_bytes.decode(errors="replace").strip()
+        # reference semantics (indexer.py:56,81): the LINE is stripped, then
+        # name = line[1:] — so whitespace AFTER the '>' is kept, only the
+        # trailing end of the line is stripped (the native decoder agrees)
+        name = name_bytes.decode(errors="replace").rstrip()
         seq_from = int(header_end[r]) + 1  # first byte after the header line
-        seq_to = int(header_gt[r + 1]) if r + 1 < header_gt.size else n
+        seq_to = n
         # header line of the NEXT record starts at its line start; sequence
         # bytes end at that line's start (minus any stripped prefix handled
         # by the keep mask)

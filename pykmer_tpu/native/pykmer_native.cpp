@@ -44,33 +44,6 @@ struct Lut {
 };
 const Lut LUT;
 
-// byte-pair -> code-pair table (128 KiB; the ~25 pairs that occur in real
-// FASTA stay L1-hot) — halves the lookups of the decode hot loop
-struct Lut2 {
-  uint16_t conv2[65536];
-  Lut2() {
-    for (int i = 0; i < 65536; i++)
-      conv2[i] = (uint16_t)LUT.conv[i & 0xff] |
-                 ((uint16_t)LUT.conv[i >> 8] << 8);
-  }
-};
-const Lut2 LUT2;
-
-// decode one stripped sequence-line span [a,b) into dst; returns bytes
-// written (b - a)
-inline long decode_span(const uint8_t* data, long a, long b, uint8_t* dst) {
-  long i = a;
-  for (; i + 1 < b; i += 2) {
-    uint16_t two;
-    memcpy(&two, data + i, 2);
-    uint16_t cc = LUT2.conv2[two];
-    memcpy(dst, &cc, 2);
-    dst += 2;
-  }
-  if (i < b) *dst = LUT.conv[data[i]];
-  return b - a;
-}
-
 // Valid-run state carried across the lines of one record: `run` = current
 // count of consecutive valid codes (runs span line boundaries — the decoded
 // stream is the concatenation of the record's lines), `ok` set once a run
@@ -280,6 +253,9 @@ long scan_bgzf(const uint8_t* data, long n, std::vector<long>& offs,
     bsizes.push_back(bsize);
     pos += bsize;
   }
+  // a file truncated inside a block header leaves 1..17 trailing bytes:
+  // treating it as valid BGZF would silently drop the tail data
+  if (pos != n) return -1;
   return (long)offs.size();
 }
 
@@ -339,32 +315,47 @@ long gzip_decompress(const uint8_t* data, long n, uint8_t* out, long out_cap,
       if (!ok[(size_t)i]) return -1;
     return uofs[nb];
   }
-  // generic multi-member gzip
+  // generic multi-member gzip. zlib counts in 32-bit uInt, so input and
+  // output are fed in <=1 GiB windows (a raw (uInt) cast of a >=4 GiB span
+  // silently truncates: output lengths overcount and input bytes vanish).
+  const long ZCHUNK = 1L << 30;
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit2(&zs, 15 + 16) != Z_OK) return -1;
-  zs.next_in = (Bytef*)data;
-  zs.avail_in = (uInt)n;
+  long in_pos = 0;
   long total = 0;
   while (true) {
+    long in_room = n - in_pos;
+    if (in_room > ZCHUNK) in_room = ZCHUNK;
     long room = out_cap - total;
+    if (room > ZCHUNK) room = ZCHUNK;
+    zs.next_in = (Bytef*)data + in_pos;
+    zs.avail_in = (uInt)in_room;
     zs.next_out = out + total;
     zs.avail_out = (uInt)room;
     int rc = inflate(&zs, Z_NO_FLUSH);
+    in_pos += in_room - (long)zs.avail_in;
     total += room - (long)zs.avail_out;
     if (rc == Z_STREAM_END) {
-      if (zs.avail_in == 0) break;
+      if (in_pos >= n) break;
       if (inflateReset2(&zs, 15 + 16) != Z_OK) {
         inflateEnd(&zs);
         return -1;
       }
       continue;
     }
+    if (rc == Z_BUF_ERROR) {
+      // no forward progress: either the output is genuinely full (caller
+      // grows it) or the input ended mid-stream (truncated — error, NOT a
+      // grow request: growing would balloon the pool for a corrupt file)
+      inflateEnd(&zs);
+      return total >= out_cap ? -2 : -1;
+    }
     if (rc != Z_OK) {
       inflateEnd(&zs);
-      return rc == Z_BUF_ERROR ? -2 : -1;
+      return -1;
     }
-    if (zs.avail_out == 0 && zs.avail_in > 0) {
+    if (total >= out_cap && in_pos < n) {
       inflateEnd(&zs);
       return -2;
     }
