@@ -3,6 +3,7 @@
 One typed entry with subcommands mirroring the reference's script surface:
 
     pykmer-tpu index   <input.fa[.gz]> <sample_name> <K>   (indexer.py:475-495)
+    pykmer-tpu index-batch <K> <a.fa> <b.fa> ...            (data/README.md:5-29 batch loop, one process)
     pykmer-tpu read    <input> <K>                          (indexer.py:416-447)
     pykmer-tpu merge   <Project> <a.kin> <b.kin> ...        (merger.py:51-59)
     pykmer-tpu distance <matrix.kma> [names.tsv]            (calculate_distance.py:247-249)
@@ -52,6 +53,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis size")
     p.add_argument("--checkpoint-every", type=int, default=None,
                    help="persist resumable shard checkpoints every N steps")
+    p.add_argument("--quiet", action="store_true")
+
+    p = sub.add_parser(
+        "index-batch",
+        help="index many FASTAs in one process (programs loaded once)",
+    )
+    p.add_argument("kmer_len", type=int)
+    p.add_argument("inputs", nargs="+", help="FASTA files (.fa[.gz|.bgz])")
+    p.add_argument("--overwrite", action="store_true",
+                   help="re-index files whose .kin already exists "
+                        "(default: skip them — resumable batch)")
+    p.add_argument("--chunk-windows", type=int, default=None)
+    p.add_argument("--accumulate", choices=["auto", "device", "host"],
+                   default="auto")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--bgzip", action="store_true",
+                   help="also produce .kin.bgz + .gzi per file")
     p.add_argument("--quiet", action="store_true")
 
     p = sub.add_parser("read", help="verify and dump a .kin index")
@@ -127,6 +145,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             if not args.quiet:
                 print(f"wrote {bgz} + {gzi}")
         return 0
+
+    if args.command == "index-batch":
+        try:
+            cfg = IndexConfig(
+                kmer_len=args.kmer_len,
+                chunk_windows=args.chunk_windows,
+                accumulate=args.accumulate,
+            )
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        from .index import index_batch
+
+        result = index_batch(
+            args.inputs, args.kmer_len, config=cfg,
+            overwrite=args.overwrite, bgzip=args.bgzip,
+            verify=not args.no_verify, verbose=not args.quiet,
+        )
+        return 1 if result.failed else 0
 
     if args.command == "read":
         from .index import read_fasta_index

@@ -93,3 +93,54 @@ def test_cli_sharded_index(tmp_path, rng, monkeypatch):
     with open(f"{fasta}.05.kin", "rb") as fh:
         single = fh.read()
     assert sharded == single
+
+
+def test_cli_index_batch(tmp_path, rng, monkeypatch, capsys):
+    """index-batch: indexes all inputs, skips existing, continues past
+    failures, and the outputs match single-file `index` runs exactly."""
+    monkeypatch.chdir(tmp_path)
+    fastas = [
+        make_random_fasta(str(tmp_path / f"g{i}.fa"), rng, n_records=2,
+                          lengths=(260, 140))
+        for i in range(3)
+    ]
+
+    rc = main(["index-batch", "5", *fastas, "--quiet"])
+    assert rc == 0
+    batch_bytes = {}
+    for fasta in fastas:
+        assert os.path.exists(f"{fasta}.05.kin")
+        assert os.path.exists(f"{fasta}.05.kin.json")
+        with open(f"{fasta}.05.kin", "rb") as fh:
+            batch_bytes[fasta] = fh.read()
+        # default sample name = basename up to the first dot
+        meta = json.load(open(f"{fasta}.05.kin.json"))
+        assert meta["input_file_name"] == os.path.basename(fasta)
+
+    # byte-identical to the single-file subcommand
+    for fasta in fastas[:1]:
+        os.remove(f"{fasta}.05.kin")
+        os.remove(f"{fasta}.05.kin.json")
+        assert main(["index", fasta, "g0", "5", "--quiet"]) == 0
+        with open(f"{fasta}.05.kin", "rb") as fh:
+            assert fh.read() == batch_bytes[fasta]
+
+    # skip-existing: a second batch run indexes nothing (mtimes unchanged)
+    mtimes = {f: os.path.getmtime(f"{f}.05.kin") for f in fastas}
+    rc = main(["index-batch", "5", *fastas])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("skip ") == 3 and "0 indexed" in out.splitlines()[-1]
+    assert mtimes == {f: os.path.getmtime(f"{f}.05.kin") for f in fastas}
+
+    # a failing input (no valid k-mers) is reported; the rest still index
+    bad = str(tmp_path / "bad.fa")
+    with open(bad, "w") as fh:
+        fh.write(">only-ns\nNNNNNNNN\n")
+    extra = make_random_fasta(str(tmp_path / "g3.fa"), rng, n_records=1,
+                              lengths=(200,))
+    rc = main(["index-batch", "5", bad, extra, "--quiet"])
+    assert rc == 1
+    assert os.path.exists(f"{extra}.05.kin")
+    assert not os.path.exists(f"{bad}.05.kin")
+    assert not os.path.exists(f"{bad}.05.kin.tmp")
