@@ -406,8 +406,15 @@ def create_fasta_index(
 
     strategy = config.accumulate
     if strategy == "auto":
-        # dense uint8 + sort workspace must fit HBM comfortably
-        strategy = "device" if data_size <= (4 << 30) else "host"
+        # dense uint8 + sort workspace must fit HBM comfortably. The folded
+        # plane is data_size/2; beyond int32 sweep indexing (K=17: 8 GiB
+        # folded) the device strategy still fits v5e HBM (16 GiB) carried as
+        # a tuple of 2^30-cell sub-planes — but only the Pallas sweep makes
+        # it fast, so it is TPU-only (XLA scatter is serial there and CPU
+        # backends lack the HBM anyway).
+        strategy = "device" if data_size <= (4 << 30) else (
+            "device" if _device_fits_folded(data_size, kmer_len) else "host"
+        )
 
     have_native = True
     try:
@@ -566,6 +573,18 @@ def create_fasta_index(
                 if isinstance(folded, np.ndarray):
                     counts = fast_counts256(folded).copy()
                     unfold_canonical(folded, kmer_len, out=out)
+                elif isinstance(folded, tuple):
+                    # K >= 17: tuple of folded sub-planes (int32 sweep
+                    # limit). Hand ownership to the streamer as a list so
+                    # each sub-plane's HBM frees as soon as it is unfolded.
+                    from ..ops.readback import stream_dense_planes_to_out
+
+                    plane_list, folded = list(folded), None
+                    counts = stream_dense_planes_to_out(
+                        plane_list, kmer_len, out, mode=config.readback,
+                        escapes=escapes,
+                    ).copy()
+                    del plane_list
                 else:
                     counts = stream_dense_to_out(
                         folded, kmer_len, out, mode=config.readback,
@@ -617,6 +636,42 @@ def create_fasta_index(
     return header
 
 
+def _max_sweep_cells() -> int:
+    """Per-sub-plane cell budget of the int32 Pallas sweep (env-overridable
+    so tests can force the multi-plane path at tiny K on the CPU backend)."""
+    env = os.environ.get("PYKMER_TPU_MAX_SWEEP_CELLS")
+    if env:
+        return int(env)
+    from ..ops.pallas_hist import MAX_SWEEP_CELLS
+
+    return MAX_SWEEP_CELLS
+
+
+def _n_planes(fold_size: int) -> int:
+    """Number of contiguous sub-planes the folded space splits into (1 =
+    single-array fast path; >1 = tuple-of-planes sweep for K >= 17)."""
+    mx = _max_sweep_cells()
+    if fold_size <= mx:
+        return 1
+    assert fold_size % mx == 0, (fold_size, mx)
+    return fold_size // mx
+
+
+def _device_fits_folded(data_size: int, kmer_len: int) -> bool:
+    """True when the folded plane exceeds 4 GiB but still fits HBM as a
+    tuple of sweep-sized sub-planes (K=17 on one v5e: 8 GiB folded + ~3 GiB
+    packing/sort headroom in 16 GiB)."""
+    import jax
+
+    fold_size = data_size // 2
+    mx = _max_sweep_cells()
+    return (
+        jax.default_backend() == "tpu"
+        and fold_size <= (8 << 30)
+        and fold_size % mx == 0
+    )
+
+
 def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bool:
     import jax
 
@@ -636,7 +691,7 @@ def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bo
 
 @functools.lru_cache(maxsize=None)
 def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
-                      masked: bool = True):
+                      masked: bool = True, n_planes: int = 1):
     """Module-level cache of the jitted per-chunk step.
 
     One compiled executable per (K, chunk span, kernel, masked) — ever. A
@@ -664,7 +719,23 @@ def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
     fold_size = 4**kmer_len // 2
 
     def tail(dense, nk, codes):
-        if use_pallas:
+        if n_planes > 1:
+            # folded space beyond int32 sweep indexing (K >= 17): dense is a
+            # TUPLE of contiguous sub-planes; one int64 sort, then each
+            # sub-plane sweeps an int32 localisation of the stream
+            # (ops.pallas_hist.localize_sorted). interpret mode keeps the
+            # path testable on the CPU backend at tiny K.
+            import jax as _jax
+
+            from ..ops.pallas_hist import accumulate_sorted_planes
+
+            sorted_codes = jnp.sort(codes)
+            nvalid = (codes < fold_size).sum(dtype=jnp.int64)
+            dense = accumulate_sorted_planes(
+                dense, sorted_codes,
+                interpret=_jax.default_backend() != "tpu",
+            )
+        elif use_pallas:
             from ..ops.pallas_hist import accumulate_sorted_pallas
 
             sorted_codes = jnp.sort(codes.astype(jnp.int32))
@@ -717,12 +788,22 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
 
     config = resolve_chunk_windows(config or IndexConfig(kmer_len=kmer_len))
     fold_size = 4**kmer_len // 2
+    n_planes = _n_planes(fold_size)
     use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
     span = config.chunk_windows + kmer_len - 1
-    step = _make_device_step(kmer_len, span, use_pallas)
-    step_av = _make_device_step(kmer_len, span, use_pallas, masked=False)
-    shape = (fold_size // 128, 128) if fold_size % 128 == 0 else (fold_size,)
-    dense = jnp.zeros(shape, dtype=jnp.uint8)
+    step = _make_device_step(kmer_len, span, use_pallas, n_planes=n_planes)
+    step_av = _make_device_step(kmer_len, span, use_pallas, masked=False,
+                                n_planes=n_planes)
+    if n_planes > 1:
+        per = fold_size // n_planes
+        dense = tuple(
+            jnp.zeros((per // 128, 128), dtype=jnp.uint8)
+            for _ in range(n_planes)
+        )
+    else:
+        shape = (fold_size // 128, 128) if fold_size % 128 == 0 \
+            else (fold_size,)
+        dense = jnp.zeros(shape, dtype=jnp.uint8)
     nk = jnp.zeros((), dtype=jnp.int64)
     bases = jnp.zeros(((span + 3) // 4,), dtype=jnp.uint8)
     mask = jnp.zeros(((span + 7) // 8,), dtype=jnp.uint8)
@@ -745,8 +826,12 @@ def _accumulate_device(
     # counts accumulate in the folded half-space min(c, M-c) — half the HBM,
     # half the per-batch sweep traffic, half the readback bytes; returns the
     # ON-DEVICE folded plane, which the caller streams straight into the
-    # output file (see ops.encode.fold_codes, ops.readback.stream_dense_to_out)
+    # output file (see ops.encode.fold_codes, ops.readback.stream_dense_to_out).
+    # Folded spaces beyond int32 sweep indexing (K >= 17) are carried as a
+    # TUPLE of 2^30-cell sub-planes (ops.pallas_hist.accumulate_sorted_planes)
+    # and returned as that tuple for readback.stream_dense_planes_to_out.
     fold_size = data_size // 2
+    n_planes = _n_planes(fold_size)
     use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
     # the dense array lives 2D [D/128, 128] on device: giant 1D programs
     # (2^30 elements) trigger pathological XLA TPU compile times
@@ -756,15 +841,24 @@ def _accumulate_device(
     # fully asynchronous dispatch: the k-mer counter is carried on-device and
     # fetched once at the end — any mid-stream sync stalls the pipeline
     # (and costs seconds over tunneled hosts)
-    step_jit = _make_device_step(kmer_len, span, use_pallas)
-    step_av_jit = _make_device_step(kmer_len, span, use_pallas, masked=False)
+    step_jit = _make_device_step(kmer_len, span, use_pallas,
+                                 n_planes=n_planes)
+    step_av_jit = _make_device_step(kmer_len, span, use_pallas, masked=False,
+                                    n_planes=n_planes)
 
     from ..utils.profiling import StageTimer
 
     stages = stages or StageTimer()
     with stages.stage("dense init"):
-        shape = (fold_size // 128, 128) if two_d else (fold_size,)
-        dense = jnp.zeros(shape, dtype=jnp.uint8)
+        if n_planes > 1:
+            per = fold_size // n_planes
+            dense = tuple(
+                jnp.zeros((per // 128, 128), dtype=jnp.uint8)
+                for _ in range(n_planes)
+            )
+        else:
+            shape = (fold_size // 128, 128) if two_d else (fold_size,)
+            dense = jnp.zeros(shape, dtype=jnp.uint8)
         nk = jnp.zeros((), dtype=jnp.int64)
 
     timing = bool(os.environ.get("PYKMER_TPU_STAGE_TIMING"))
@@ -806,7 +900,12 @@ def _accumulate_device(
     # draining the dispatch queue: its scalars ride back with the sync
     # instead of paying their own round trip when the readback starts
     escapes = None
-    if fold_size % 256 == 0 and fold_size >= (1 << 26):
+    if n_planes > 1:
+        from ..ops.readback import count_all_escapes
+
+        if (fold_size // n_planes) % 256 == 0:
+            escapes = [count_all_escapes(p) for p in dense]
+    elif fold_size % 256 == 0 and fold_size >= (1 << 26):
         from ..ops.readback import count_all_escapes
 
         escapes = count_all_escapes(dense)

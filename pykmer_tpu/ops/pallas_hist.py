@@ -44,6 +44,11 @@ LANES = 128
 # must align to the (1024,) int32 tile); block 2048 is ~2 ms slower.
 DEFAULT_TILE_ROWS = 512
 DEFAULT_BLOCK = 1024
+# Largest sub-plane the int32-indexed sweep kernel addresses. Count spaces
+# beyond it (K >= 17: 2^33 folded cells) are carried as a tuple of
+# MAX_SWEEP_CELLS-sized planes and swept one sub-plane at a time with the
+# codes localised (see localize_sorted / accumulate_sorted_planes).
+MAX_SWEEP_CELLS = 1 << 30
 
 
 def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
@@ -211,6 +216,54 @@ def accumulate_sorted_pallas(
             transcendentals=0,
         ),
     )(offsets, codes_pad, dense2d)
+
+
+def localize_sorted(sorted_codes: jax.Array, lo: int, hi: int) -> jax.Array:
+    """Map globally sorted codes to a monotone int32 stream local to [lo, hi).
+
+    Codes below ``lo`` become -1, codes at or above ``hi`` become int32 max
+    (the sweep's natural sentinel), in-range codes become ``code - lo``.
+    All three bands preserve the input's sorted order, so the int32 sweep
+    kernel can consume a <= 2^30-cell sub-plane of a count space that itself
+    exceeds int32 indexing (K >= 17 folded planes, SURVEY.md §7 hard part d).
+    Out-of-band casts may wrap, but every wrapped value is overwritten by the
+    corresponding ``where`` arm.
+    """
+    assert hi - lo <= np.iinfo(np.int32).max
+    local = (sorted_codes - lo).astype(jnp.int32)
+    local = jnp.where(sorted_codes < lo, jnp.int32(-1), local)
+    return jnp.where(
+        sorted_codes >= hi, jnp.int32(np.iinfo(np.int32).max), local
+    )
+
+
+def accumulate_sorted_planes(
+    planes,
+    sorted_codes: jax.Array,
+    tile_rows: int = DEFAULT_TILE_ROWS,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Apply sorted codes to a folded plane carried as a tuple of [R_q, 128]
+    uint8 sub-planes covering contiguous code ranges (see MAX_SWEEP_CELLS).
+
+    ``sorted_codes`` may be int64 (K >= 17) — each sub-plane sweep sees an
+    int32 localisation of the stream. Codes past the last plane (sentinels)
+    are ignored. Returns the updated tuple; safe to donate.
+    """
+    out = []
+    base = 0
+    for p in planes:
+        cells = p.shape[0] * LANES
+        local = localize_sorted(sorted_codes, base, base + cells)
+        out.append(
+            accumulate_sorted_pallas(
+                p, local, tile_rows=min(tile_rows, p.shape[0]), block=block,
+                interpret=interpret,
+            )
+        )
+        base += cells
+    return tuple(out)
 
 
 def saturating_accumulate_tiled(

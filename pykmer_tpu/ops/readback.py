@@ -364,6 +364,7 @@ def stream_dense_to_out(
     threads: int = FETCH_THREADS,
     fd: Optional[int] = None,
     escapes=None,
+    base: int = 0,
 ) -> np.ndarray:
     """Fetch the folded device plane and expand it straight into ``out``
     (uint8[4^K]) in two phases: (1) drain all packed slice transfers with
@@ -375,20 +376,29 @@ def stream_dense_to_out(
     bulk-pwritten before returning (callers wanting disk/hash overlap — the
     indexer — pass fd=None and run their own write thread).
 
-    Returns the exact 256-bin counts of the folded plane (int64[256])."""
+    ``dense`` may also be a SUB-plane of a larger folded space (count spaces
+    beyond int32 sweep indexing are carried as tuples of 2^30-cell planes,
+    K >= 17 — see ops.pallas_hist.MAX_SWEEP_CELLS): ``base`` is its first
+    global folded index, and ``out`` is always the full 4^K array.
+
+    Returns the exact 256-bin counts of the folded (sub-)plane (int64[256])."""
     from ..formats.header import fast_counts256
 
     import time as _t
 
     size = int(np.prod(dense.shape))
-    assert out.shape[0] == 2 * size and out.dtype == np.uint8
+    assert 2 * (base + size) <= out.shape[0] and out.dtype == np.uint8
+    assert base == 0 or out.shape[0] > 2 * size  # sub-plane ⇒ larger out
     _t0 = _t.monotonic()
     mode = _pick_mode(dense, size, mode, escapes=escapes)
     _t_pick = _t.monotonic() - _t0
 
     if mode == "raw":
         folded = fetch_dense(dense, mode="raw")
-        unfold_canonical(folded, kmer_len, out=out)
+        if base == 0 and out.shape[0] == 2 * size:
+            unfold_canonical(folded, kmer_len, out=out)
+        else:
+            unfold_range(folded, out, kmer_len, base)
         if fd is not None:
             _pwrite_all(fd, out, 0)
         return fast_counts256(folded)
@@ -465,7 +475,7 @@ def stream_dense_to_out(
 
         def work(i: int) -> np.ndarray:
             buf, bufs[i] = bufs[i], None
-            lo = bounds[i] * cells_per_row
+            lo = base + bounds[i] * cells_per_row
             if _fused is not None and width is not None:
                 # one fused pass: unfold + 256-bin counts + escape indices
                 counts, esc_local = _fused(buf, width, out, kmer_len, lo)
@@ -487,12 +497,14 @@ def stream_dense_to_out(
         phase_s["cpu"] = _time.monotonic() - t0
 
         # one batched gather patches every escape cell (folded index u lands
-        # at the canonical member of {u, M-u} in the unfolded plane)
+        # at the canonical member of {u, M-u} in the unfolded plane). The
+        # esc_lists hold GLOBAL folded indices (lo includes base); the device
+        # gather needs plane-LOCAL ones.
         t0 = _t.monotonic()
         esc_all = [e for e in esc_lists if e is not None]
         if esc_all:
             esc_idx = np.concatenate(esc_all)
-            vals = _gather_escapes(dense, esc_idx)
+            vals = _gather_escapes(dense, esc_idx - base)
             u = esc_idx.astype(np.uint64)
             rc = _rc_codes_np(u, kmer_len)
             pos = np.where(u <= rc, u, np.uint64(full - 1) - u)
@@ -514,6 +526,47 @@ def stream_dense_to_out(
             ),
             file=sys.stderr,
         )
+    return totals
+
+
+def stream_dense_planes_to_out(
+    planes,
+    kmer_len: int,
+    out: np.ndarray,
+    mode: str = "auto",
+    escapes=None,
+    slice_bytes: int = SLICE_BYTES,
+    threads: int = FETCH_THREADS,
+) -> np.ndarray:
+    """:func:`stream_dense_to_out` over a folded plane carried as a tuple of
+    contiguous sub-planes (count spaces beyond int32 sweep indexing, K >= 17
+    — see ops.pallas_hist.MAX_SWEEP_CELLS / index.indexer._accumulate_device).
+
+    Each sub-plane is fetched, unfolded into its slice of the full ``out``
+    array, and RELEASED before the next one's packed plane materialises, so
+    peak HBM stays at one sub-plane's packing overhead — pass ``planes`` as a
+    LIST you no longer reference (it is consumed in place; a caller-held
+    tuple would pin every sub-plane's HBM for the whole loop). ``escapes`` is
+    an optional per-plane list of pre-dispatched ``count_all_escapes`` results.
+
+    Returns the exact 256-bin counts of the whole folded plane (int64[256])."""
+    if not isinstance(planes, list):
+        planes = list(planes)
+    total = sum(int(np.prod(p.shape)) for p in planes)
+    assert out.shape[0] == 2 * total and out.dtype == np.uint8
+    totals = np.zeros(256, dtype=np.int64)
+    base = 0
+    for q in range(len(planes)):
+        p, planes[q] = planes[q], None
+        size = int(np.prod(p.shape))
+        totals += stream_dense_to_out(
+            p, kmer_len, out, mode=mode,
+            slice_bytes=slice_bytes, threads=threads,
+            escapes=None if escapes is None else escapes[q],
+            base=base,
+        )
+        del p  # free the sub-plane's HBM before packing the next one
+        base += size
     return totals
 
 

@@ -151,6 +151,102 @@ def test_pallas_rejects_int32_overflow():
                                     interpret=True)
 
 
+def test_localize_sorted_bands():
+    """Below-range → -1, in-range → code-lo, above-range → int32 max; all
+    monotone so the sweep's searchsorted stays valid."""
+    from pykmer_tpu.ops.pallas_hist import localize_sorted
+
+    codes = jnp.asarray(
+        np.array([0, 5, 99, 100, 150, 199, 200, 2**33], dtype=np.int64)
+    )
+    got = np.asarray(localize_sorted(codes, 100, 200))
+    imax = np.iinfo(np.int32).max
+    want = np.array([-1, -1, -1, 0, 50, 99, imax, imax], dtype=np.int32)
+    assert np.array_equal(got, want)
+    assert got.dtype == np.int32
+    assert (np.diff(got) >= 0).all()
+
+
+@pytest.mark.parametrize("n_planes", [2, 4])
+def test_accumulate_sorted_planes_matches_numpy(rng, n_planes):
+    """Multi-sub-plane sweep (K>=17 folded-space layout at test scale):
+    codes crossing plane boundaries, sentinels past the last plane, and
+    saturation all match min(total, 255)."""
+    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_planes
+
+    total = 4096
+    per = total // n_planes
+    planes = tuple(
+        jnp.zeros((per // 128, 128), dtype=jnp.uint8) for _ in range(n_planes)
+    )
+    want = np.zeros(total, dtype=np.int64)
+    for _ in range(3):
+        codes = rng.integers(0, total, size=1500).astype(np.int64)
+        codes[:400] = rng.integers(0, 8, size=400)  # saturation hotspot
+        codes[400:420] = total  # sentinels (ignored)
+        want += np.bincount(codes[codes < total], minlength=total)
+        planes = accumulate_sorted_planes(
+            planes, jnp.sort(jnp.asarray(codes)),
+            tile_rows=8, block=16, interpret=True,
+        )
+    got = np.concatenate([np.asarray(p).reshape(-1) for p in planes])
+    assert np.array_equal(got, np.minimum(want, 255))
+
+
+def test_stream_planes_readback_matches_unfold(rng, tmp_path):
+    """stream_dense_planes_to_out (sub-plane readback with global base
+    offsets) reproduces unfold_canonical of the concatenated folded plane,
+    for both the forced 3-bit packed path (escape patching at base>0) and
+    the auto(raw) path."""
+    from pykmer_tpu.formats.header import fast_counts256
+    from pykmer_tpu.ops.readback import (
+        stream_dense_planes_to_out,
+        unfold_canonical,
+    )
+
+    kmer_len = 7
+    fold = 4**kmer_len // 2  # 8192
+    host = rng.integers(0, 256, size=fold).astype(np.uint8)
+    host[::3] = 0
+    host[5] = 7  # 3-bit escape marker value
+    host[4099] = 255  # escape in the second plane
+    want = unfold_canonical(host.copy(), kmer_len)
+    for mode in ("3bit", "auto"):
+        planes = [
+            jnp.asarray(host[:4096].copy()),
+            jnp.asarray(host[4096:].copy()),
+        ]
+        out = np.zeros(2 * fold, dtype=np.uint8)
+        counts = stream_dense_planes_to_out(planes, kmer_len, out, mode=mode)
+        assert np.array_equal(out, want), mode
+        assert np.array_equal(counts, fast_counts256(host)), mode
+
+
+def test_indexer_multiplane_device_path(rng, tmp_path, monkeypatch):
+    """End-to-end: forcing the tuple-of-sub-planes device strategy (the
+    K>=17 layout) at K=7 yields a byte-identical .kin to the default run."""
+    import conftest
+
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    fa = str(tmp_path / "mp.fa")
+    conftest.make_random_fasta(fa, rng, n_records=2, lengths=(400, 300))
+    cfg = IndexConfig(kmer_len=7, chunk_windows=1 << 10)
+    h1 = create_fasta_index(fa, "s", fa, 7, config=cfg, verbose=False)
+    ref_bytes = open(h1.index_file_root, "rb").read()
+    ref_kmers = h1.num_kmers
+
+    monkeypatch.setenv("PYKMER_TPU_MAX_SWEEP_CELLS", "2048")  # fold 8192 → 4
+    from pykmer_tpu.index import indexer as ix
+
+    assert ix._n_planes(4**7 // 2) == 4
+    h2 = create_fasta_index(fa, "s", fa, 7, overwrite=True, config=cfg,
+                            verbose=False)
+    assert h2.num_kmers == ref_kmers
+    assert open(h2.index_file_root, "rb").read() == ref_bytes
+
+
 def test_pallas_rejects_non_pow2_block():
     import jax.numpy as jnp
     import pytest
