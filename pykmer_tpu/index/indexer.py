@@ -745,6 +745,14 @@ def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
             flat = dense.reshape(-1)
             flat, nvalid = saturating_accumulate(flat, codes, sentinel=fold_size)
             dense = flat.reshape(dense.shape)
+        if n_planes > 1:
+            # third output = NON-donated readiness signal: the dispatch loop
+            # blocks on the one from a few steps back to bound how many
+            # in-flight step arenas (sort + localisation temps, ~0.5 GiB
+            # each at K=17) can stack on top of the 8 GiB plane tuple.
+            # (nk itself is donated chunk-to-chunk, so waiting on an older
+            # nk would touch a deleted buffer.)
+            return dense, nk + nvalid, nvalid
         return dense, nk + nvalid
 
     if masked:
@@ -807,10 +815,10 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
     nk = jnp.zeros((), dtype=jnp.int64)
     bases = jnp.zeros(((span + 3) // 4,), dtype=jnp.uint8)
     mask = jnp.zeros(((span + 7) // 8,), dtype=jnp.uint8)
-    dense, nk = step(dense, nk, bases, mask)
-    dense, nk = step_av(dense, nk, bases)
-    jax.block_until_ready((dense, nk))
-    del dense, nk
+    res = step(dense, nk, bases, mask)
+    res = step_av(res[0], res[1], bases)
+    jax.block_until_ready(res)
+    del dense, nk, res
 
 
 def _accumulate_device(
@@ -864,7 +872,12 @@ def _accumulate_device(
     timing = bool(os.environ.get("PYKMER_TPU_STAGE_TIMING"))
     t_gen = t_h2d = t_disp = 0.0
     with stages.stage("step dispatch"):
+        import collections
         import time as _t
+
+        # n_planes > 1: rolling in-flight bound (see _make_device_step tail)
+        sigs: collections.deque = collections.deque()
+        max_inflight = 4
 
         done_windows = 0
         it = iter(chunks)
@@ -880,7 +893,15 @@ def _accumulate_device(
             dev_m = None if maskbits is None else jnp.asarray(maskbits)
             t_h2d += _t.monotonic() - _t0
             _t0 = _t.monotonic()
-            if dev_m is None:
+            if n_planes > 1:
+                if dev_m is None:
+                    dense, nk, sig = step_av_jit(dense, nk, dev_b)
+                else:
+                    dense, nk, sig = step_jit(dense, nk, dev_b, dev_m)
+                sigs.append(sig)
+                if len(sigs) > max_inflight:
+                    sigs.popleft().block_until_ready()
+            elif dev_m is None:
                 dense, nk = step_av_jit(dense, nk, dev_b)
             else:
                 dense, nk = step_jit(dense, nk, dev_b, dev_m)
@@ -888,6 +909,7 @@ def _accumulate_device(
             done_windows += config.chunk_windows
             if verbose and done_windows > config.chunk_windows:
                 print(f"  dispatched windows {done_windows:15,d}")
+        sigs.clear()
     if timing:
         import sys as _sys
 

@@ -86,22 +86,25 @@ def pack_3bit(dense: jax.Array) -> jax.Array:
 
 @jax.jit
 def count_escapes(dense: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(cells >= 3, cells >= 15) — one device pass, both pack thresholds."""
-    d2 = _as2d(dense)
-    ge3 = (d2 >= ESCAPE2).sum(dtype=jnp.int64)
-    ge15 = (d2 >= ESCAPE4).sum(dtype=jnp.int64)
+    """(cells >= 3, cells >= 15) — one device pass, both pack thresholds.
+
+    No ``_as2d``: reductions are shape-agnostic, and the [R,128]→[R/2,256]
+    reshape is a full-plane relayout copy on TPU — at K=17 eight of those
+    temps enqueue at once (one per sub-plane) and exhaust HBM."""
+    ge3 = (dense >= ESCAPE2).sum(dtype=jnp.int64)
+    ge15 = (dense >= ESCAPE4).sum(dtype=jnp.int64)
     return ge3, ge15
 
 
 @jax.jit
 def count_all_escapes(dense: jax.Array):
     """(cells >= 3, >= 7, >= 15) — one cheap device pass ahead of choosing
-    the pack width; the scalars cost one tiny dispatch round-trip."""
-    d2 = _as2d(dense)
+    the pack width; the scalars cost one tiny dispatch round-trip. Reduces
+    the plane in its native layout (see count_escapes on why no _as2d)."""
     return (
-        (d2 >= ESCAPE2).sum(dtype=jnp.int64),
-        (d2 >= ESCAPE3).sum(dtype=jnp.int64),
-        (d2 >= ESCAPE4).sum(dtype=jnp.int64),
+        (dense >= ESCAPE2).sum(dtype=jnp.int64),
+        (dense >= ESCAPE3).sum(dtype=jnp.int64),
+        (dense >= ESCAPE4).sum(dtype=jnp.int64),
     )
 
 
@@ -167,10 +170,14 @@ def unpack_2bit(packed: np.ndarray) -> np.ndarray:
 
 @jax.jit
 def _gather_cells(dense: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather dense cells at flat folded indices (int32; divmod on device —
-    one index upload instead of separate row/col planes)."""
-    d2 = _as2d(dense)
-    return d2[idx // _PACK_LANES, idx % _PACK_LANES]
+    """Gather dense cells at flat folded indices (int32/int64; divmod on
+    device — one index upload instead of separate row/col planes). Uses the
+    plane's NATIVE lane count when it is already 2D: reshaping [R,128] to
+    [R/2,256] is a full-plane relayout copy on TPU (a 1 GiB temp per gather
+    batch at K=17 sub-plane scale)."""
+    d2 = dense if dense.ndim == 2 else _as2d(dense)
+    lanes = d2.shape[1]
+    return d2[idx // lanes, idx % lanes]
 
 
 def fetch_array_mt(
