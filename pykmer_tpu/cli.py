@@ -35,7 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("index", help="build a .kin index from FASTA")
-    p.add_argument("input_file")
+    p.add_argument("input_file",
+                   help="FASTA path, or '-' to read stdin (outputs are then "
+                        "named {sample_name}.{K:02d}.kin)")
     p.add_argument("sample_name")
     p.add_argument("kmer_len", type=int)
     p.add_argument("--no-overwrite", action="store_true")
@@ -83,7 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-count", type=int, default=DEFAULT_MIN_COUNT)
     p.add_argument("--max-count", type=int, default=DEFAULT_MAX_COUNT)
     p.add_argument("--buffer-size", type=int, default=None,
-                   help="accepted for reference-CLI parity (unused)")
+                   help="raw-file buffer for gzip-wrapped .bgz streams "
+                        "(reference merger.py:67; raw .kin inputs use "
+                        "O_DIRECT block reads and do not buffer)")
     p.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
     p.add_argument("--threads", type=int, default=DEFAULT_THREADS)
     p.add_argument("--quiet", action="store_true")
@@ -120,7 +124,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         except ValueError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 2
+        # '-' reads the FASTA from stdin (reference indexer.py:104-110);
+        # the project is then named after the sample
+        from_stdin = args.input_file == "-"
+        project = args.sample_name if from_stdin else args.input_file
         if args.shards or args.data_parallel > 1 or args.checkpoint_every:
+            if from_stdin:
+                print("error: stdin input ('-') is not supported with "
+                      "--shards/--data-parallel/--checkpoint-every",
+                      file=sys.stderr)
+                return 2
             from .index import create_fasta_index_sharded
 
             header = create_fasta_index_sharded(
@@ -134,7 +147,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             from .index import create_fasta_index
 
             header = create_fasta_index(
-                args.input_file, args.sample_name, args.input_file,
+                project, args.sample_name, args.input_file,
                 args.kmer_len, overwrite=not args.no_overwrite, config=cfg,
                 verify=not args.no_verify, verbose=not args.quiet,
             )
@@ -182,6 +195,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.Project_Name, sorted(args.Kmers),
             min_count=args.min_count, max_count=args.max_count,
             block_size=args.block_size, threads=args.threads,
+            buffer_size=args.buffer_size,
             verbose=not args.quiet,
         )
         return 0

@@ -270,9 +270,18 @@ class KinHeader:
         Checksums may be passed in precomputed (e.g. hashed from the
         in-memory array / in a background thread overlapping the device
         fetch) — values are identical to hashing the files."""
-        self.input_file_size = os.path.getsize(self.input_file_path)
-        self.input_file_ctime = os.path.getctime(self.input_file_path)
-        self.input_file_cheksum = input_checksum or sha256_file(self.input_file_path)
+        if self.input_file_path and os.path.exists(self.input_file_path):
+            self.input_file_size = os.path.getsize(self.input_file_path)
+            self.input_file_ctime = os.path.getctime(self.input_file_path)
+            self.input_file_cheksum = input_checksum or sha256_file(
+                self.input_file_path
+            )
+        else:
+            # stdin input: no file to stat; the checksum (of the stream
+            # bytes) must have been computed by the caller
+            self.input_file_size = None
+            self.input_file_ctime = None
+            self.input_file_cheksum = input_checksum
 
         self.output_file_size = os.path.getsize(index_file)
         self.output_file_ctime = os.path.getctime(index_file)

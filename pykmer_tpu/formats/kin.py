@@ -87,10 +87,22 @@ def remove_outputs(input_file: str, kmer_len: int, overwrite: bool) -> None:
             os.remove(path)
 
 
-def open_kin_stream(path: str, mode: str = "rb") -> BinaryIO:
-    """Open a `.kin` (raw) or `.kin.bgz` (gzip-wrapped) for sequential reads."""
+def open_kin_stream(
+    path: str, mode: str = "rb", buffering: Optional[int] = None
+) -> BinaryIO:
+    """Open a `.kin` (raw) or `.kin.bgz` (gzip-wrapped) for sequential reads.
+
+    ``buffering`` sets the raw-file buffer size (the role the reference's
+    ``buffer_size`` plays in its ``open(..., buffering=)`` calls,
+    tools.py:294-305); default leaves the interpreter's choice.
+    """
     if path.endswith("." + COMP_EXT):
+        if buffering is not None:
+            raw = open(path, mode, buffering=buffering)
+            return gzip.GzipFile(fileobj=raw, mode=mode)
         return gzip.open(path, mode)
+    if buffering is not None:
+        return open(path, mode, buffering=buffering)
     return open(path, mode)
 
 

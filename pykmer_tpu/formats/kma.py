@@ -7,8 +7,9 @@ merger.py:204-208) with a sibling ``.kma.json`` carrying per-sample lean
 headers (merger.py:187-202).
 
 The reference leaves the matrix diagonal uninitialised (merger.py:136 allocates
-with ``np.ndarray``); we write zeros — downstream zeroes the diagonal anyway
-(calculate_distance.py:96-97).
+with ``np.ndarray``); our merge engine stores ``(total, total, total)`` there —
+each sample's valid-cell total intersected with itself — which downstream
+zeroes anyway (calculate_distance.py:96-97). See merge/merger.py:113-119.
 """
 
 from __future__ import annotations

@@ -376,15 +376,25 @@ def create_fasta_index(
     verify: bool = True,
     verbose: bool = True,
 ) -> KinHeader:
-    """Build one `.kin` index (single-host entry point)."""
+    """Build one `.kin` index (single-host entry point).
+
+    ``input_file`` may be ``"-"`` (or ``None``) to read the FASTA from stdin
+    (reference indexer.py:104-110); outputs are then named after
+    ``sample_name`` (``{sample_name}.{K:02d}.kin`` in the CWD) since there is
+    no input path to derive them from.
+    """
     from ..config import resolve_chunk_windows
 
     config = resolve_chunk_windows(config or IndexConfig(kmer_len=kmer_len))
     assert config.kmer_len == kmer_len
 
+    from_stdin = input_file is None or input_file == "-"
+    name_stem = sample_name if from_stdin else input_file
+    input_file = None if from_stdin else input_file
+
     header = KinHeader(
         project_name,
-        input_file=input_file,
+        input_file=name_stem,
         kmer_len=kmer_len,
         flush_every=config.flush_every,
         min_frag_size=config.min_frag_size,
@@ -397,7 +407,7 @@ def create_fasta_index(
             f"kmer_len {kmer_len:15,d} kmer_size {data_size:15,d}"
         )
 
-    kinfmt.remove_outputs(input_file, kmer_len, overwrite)
+    kinfmt.remove_outputs(name_stem, kmer_len, overwrite)
 
     from ..utils.profiling import StageTimer
 
@@ -415,6 +425,19 @@ def create_fasta_index(
         strategy = "device" if data_size <= (4 << 30) else (
             "device" if _device_fits_folded(data_size, kmer_len) else "host"
         )
+    if strategy == "device" and config.kernel == "xla" \
+            and _n_planes(data_size // 2) > 1:
+        # the multi-sub-plane tail is Pallas-only (XLA scatter at that scale
+        # is serial on TPU and the interpret fallback is pathologically
+        # slow): honor an explicit kernel='xla' by routing to the host
+        # strategy rather than silently running the Pallas sweep
+        if config.accumulate == "device":
+            raise ValueError(
+                "kernel='xla' cannot run the multi-sub-plane device "
+                f"accumulate needed at K={kmer_len}; use kernel='pallas'/"
+                "'auto' or accumulate='host'"
+            )
+        strategy = "host"
 
     have_native = True
     try:
@@ -448,7 +471,8 @@ def create_fasta_index(
             from ..io.fasta import open_input_bytes
 
             data = open_input_bytes(input_file)
-        if plain:
+        if plain or from_stdin:
+            # stdin has no path to re-read: hash the in-memory bytes
             raw["bytes"] = data
 
         # input checksum in a background thread (hashlib releases the GIL):
@@ -473,9 +497,13 @@ def create_fasta_index(
         pipelined = strategy == "device" and have_native and len(data) > 0
 
     from ..utils.keepalive import d2h_keepalive
+    from ..utils.profiling import device_trace
 
     tmp = header.index_tmp_file
-    with d2h_keepalive():
+    # jax.profiler trace of the whole device pipeline when
+    # PYKMER_TPU_TRACE_DIR is set (SURVEY §5: TPU equivalent of the
+    # reference's cProfile recipe, README.md:255-259); no-op otherwise
+    with device_trace(), d2h_keepalive():
         if pipelined:
             # decode overlaps dispatch: segment i+1 decodes on a background
             # thread while segment i's chunks pack + upload + accumulate
@@ -621,7 +649,7 @@ def create_fasta_index(
         # reference's end-to-end invariant (indexer.py:406-407): stats derived
         # from the written file must equal the in-memory ones
         with stages.stage("verify"):
-            fresh = KinHeader(project_name, input_file=input_file, kmer_len=kmer_len)
+            fresh = KinHeader(project_name, input_file=name_stem, kmer_len=kmer_len)
             fresh.update_stats_from_file(tmp)
             if fresh.hist != header.hist or fresh.vals_sum != header.vals_sum:
                 raise AssertionError("written .kin does not match computed stats")
@@ -653,7 +681,12 @@ def _n_planes(fold_size: int) -> int:
     mx = _max_sweep_cells()
     if fold_size <= mx:
         return 1
-    assert fold_size % mx == 0, (fold_size, mx)
+    if fold_size % mx != 0:
+        raise ValueError(
+            f"folded count space ({fold_size:,} cells) is not divisible by "
+            f"the per-sub-plane sweep budget ({mx:,}); PYKMER_TPU_MAX_SWEEP_CELLS "
+            f"must be a power of 4 dividing 4^K/2 (or unset to use the default)"
+        )
     return fold_size // mx
 
 

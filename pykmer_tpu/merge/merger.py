@@ -79,13 +79,21 @@ def merge(
     max_count: int = MergeConfig.max_count,
     block_size: int = MergeConfig.block_size,
     threads: int = MergeConfig.threads,
+    buffer_size: Optional[int] = None,
     verbose: bool = True,
 ) -> Tuple[List[Dict[str, Any]], np.ndarray]:
-    """Build `{project}.{min:03d}-{max:03d}.kma` (+ `.json`) from N indexes."""
+    """Build `{project}.{min:03d}-{max:03d}.kma` (+ `.json`) from N indexes.
+
+    ``buffer_size`` sets the raw-file buffer for gzip-wrapped `.bgz` streams
+    (the reference's ``--buffer-size``, merger.py:67 → tools.py:300); raw
+    `.kin` inputs use O_DIRECT block reads and ignore it.
+    """
     if not (1 <= min_count and max_count <= 255):
         raise ValueError("count bounds must satisfy 1 <= min and max <= 255")
     if block_size <= 0 or len(indexes) == 0:
         raise ValueError("need a positive block size and at least one index")
+    if buffer_size is not None and buffer_size <= 0:
+        raise ValueError("buffer_size must be positive")
 
     outfile = kmafmt.kma_path(project_name, min_count, max_count)
     if os.path.exists(project_name):
@@ -107,6 +115,7 @@ def merge(
         max_count,
         block_size=block_size,
         threads=threads,
+        buffer_size=buffer_size,
         verbose=verbose,
     )
 
@@ -172,6 +181,7 @@ def _pairwise_matrix_device(
     block_size: int,
     threads: int,
     verbose: bool,
+    buffer_size: Optional[int] = None,
 ) -> np.ndarray:
     """Shared-count N×N matrix; each file streamed exactly once."""
     import jax
@@ -200,7 +210,7 @@ def _pairwise_matrix_device(
     bufs = []
     for p in paths:
         if p.endswith("." + kinfmt.COMP_EXT):
-            streams.append(("gz", kinfmt.open_kin_stream(p)))
+            streams.append(("gz", kinfmt.open_kin_stream(p, buffering=buffer_size)))
         else:
             streams.append(("raw", DirectReader(p)))
         bufs.append(big_empty(block_size))

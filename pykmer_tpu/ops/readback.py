@@ -321,11 +321,17 @@ def unfold_range(
         pass
     size = out.shape[0]
     m = size - 1
-    hi = lo + folded_slice.shape[0]
-    u = np.arange(lo, hi, dtype=np.uint64)
-    canon = u <= _rc_codes_np(u, kmer_len)
-    out[lo:hi] = np.where(canon, folded_slice, 0)
-    out[m - hi + 1 : m - lo + 1] = np.where(canon, 0, folded_slice)[::-1]
+    end = lo + folded_slice.shape[0]
+    # blockwise like unfold_canonical: a 2^30-cell sub-plane in one shot
+    # would allocate tens-of-GiB uint64 temps
+    block = 1 << 22
+    for blo in range(lo, end, block):
+        bhi = min(end, blo + block)
+        u = np.arange(blo, bhi, dtype=np.uint64)
+        canon = u <= _rc_codes_np(u, kmer_len)
+        vals = folded_slice[blo - lo : bhi - lo]
+        out[blo:bhi] = np.where(canon, vals, 0)
+        out[m - bhi + 1 : m - blo + 1] = np.where(canon, 0, vals)[::-1]
 
 
 def _pick_mode(dense: jax.Array, size: int, mode: str, escapes=None) -> str:
@@ -396,6 +402,14 @@ def stream_dense_to_out(
     size = int(np.prod(dense.shape))
     assert 2 * (base + size) <= out.shape[0] and out.dtype == np.uint8
     assert base == 0 or out.shape[0] > 2 * size  # sub-plane ⇒ larger out
+    if base > 0 and fd is not None:
+        # a sub-plane readback fills only the [lo,hi) + mirrored ranges of
+        # ``out``; bulk-writing the whole buffer would persist garbage from
+        # sub-planes not yet unfolded
+        raise ValueError(
+            "fd is only valid for a full-plane readback (base == 0); "
+            "sub-plane callers must write the assembled out buffer themselves"
+        )
     _t0 = _t.monotonic()
     mode = _pick_mode(dense, size, mode, escapes=escapes)
     _t_pick = _t.monotonic() - _t0

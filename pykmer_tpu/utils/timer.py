@@ -1,9 +1,10 @@
 """Wall-clock throughput meter.
 
-Field-compatible with the reference's progress meter (reference tools.py:24-64):
-``speed_ela``/``speed_delta`` in units/s, elapsed/delta time strings with the
-sub-second part stripped, so `.kin.json` provenance fields (``creation_speed``,
-``creation_duration``) carry the same shapes of values.
+Only the *values* persisted into `.kin.json` are constrained by the reference
+(reference tools.py:24-64): ``speed_ela`` must be the integer units/s since
+construction (serialised as ``creation_speed``), and ``time_begin`` must be a
+``datetime`` whose ``str()`` form becomes ``creation_time_start``.  Everything
+else here — the rolling-window rate, the progress line — is our own design.
 """
 
 from __future__ import annotations
@@ -12,38 +13,37 @@ import datetime
 
 
 class Timer:
+    """Tracks cumulative and rolling (since last ``update``) throughput."""
+
     def __init__(self) -> None:
         self.time_begin = datetime.datetime.now()
-        self.time_last = self.time_begin
-        self.val_last = 0
-        self.val_delta = 0
-        self.time_ela = datetime.timedelta(seconds=0)
-        self.time_delta = datetime.timedelta(seconds=0)
-        self.time_ela_s = "none"
-        self.time_delta_s = "none"
-        self.speed_ela = 0
-        self.speed_delta = 0
-
-    @property
-    def time_delta_seconds(self) -> float:
-        return (datetime.datetime.now() - self.time_last).total_seconds()
+        self._last_time = self.time_begin
+        self._last_val = 0
+        self.val = 0
+        self.speed_ela = 0  # cumulative units/s (→ .kin.json creation_speed)
+        self.speed_recent = 0  # units/s over the last update window
 
     def update(self, val: int) -> None:
         now = datetime.datetime.now()
-        self.time_ela = now - self.time_begin
-        self.time_delta = now - self.time_last
-        self.time_ela_s = str(self.time_ela).split(".", 2)[0]
-        self.time_delta_s = str(self.time_delta).split(".", 2)[0]
-        self.val_delta = val - self.val_last
-        ela_s = self.time_ela.total_seconds()
-        dlt_s = self.time_delta.total_seconds()
-        self.speed_ela = int(val // ela_s) if ela_s > 0 else 0
-        self.speed_delta = int(self.val_delta // dlt_s) if dlt_s > 0 else 0
-        self.time_last = now
-        self.val_last = val
+        total_s = (now - self.time_begin).total_seconds()
+        window_s = (now - self._last_time).total_seconds()
+        self.speed_ela = int(val / total_s) if total_s > 0 else 0
+        self.speed_recent = (
+            int((val - self._last_val) / window_s) if window_s > 0 else 0
+        )
+        self._last_time = now
+        self._last_val = val
+        self.val = val
 
-    def __str__(self) -> str:
+    @property
+    def elapsed(self) -> datetime.timedelta:
+        return datetime.datetime.now() - self.time_begin
+
+    def progress_line(self) -> str:
+        """Single-line human progress summary (whole seconds)."""
+        ela = datetime.timedelta(seconds=int(self.elapsed.total_seconds()))
         return (
-            f"ela   time {self.time_ela_s} val {self.val_last:15,d} speed {self.speed_ela:15,d}\n"
-            f"delta time {self.time_delta_s} val {self.val_delta:15,d} speed {self.speed_delta:15,d}"
+            f"[{ela}] {self.val:,} units"
+            f" | {self.speed_ela:,}/s overall"
+            f" | {self.speed_recent:,}/s recent"
         )

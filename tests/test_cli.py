@@ -144,3 +144,58 @@ def test_cli_index_batch(tmp_path, rng, monkeypatch, capsys):
     assert os.path.exists(f"{extra}.05.kin")
     assert not os.path.exists(f"{bad}.05.kin")
     assert not os.path.exists(f"{bad}.05.kin.tmp")
+
+
+def test_cli_index_stdin(tmp_path, rng, monkeypatch):
+    """`index -` reads the FASTA from stdin (reference indexer.py:104-110);
+    outputs are named after the sample and match the by-path run exactly."""
+    import io
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    fasta = make_random_fasta(str(tmp_path / "sin.fa"), rng, n_records=2,
+                              lengths=(240, 130))
+    assert main(["index", fasta, "s", "5", "--quiet"]) == 0
+    with open(f"{fasta}.05.kin", "rb") as fh:
+        want = fh.read()
+    want_meta = json.load(open(f"{fasta}.05.kin.json"))
+
+    with open(fasta, "rb") as fh:
+        data = fh.read()
+    monkeypatch.setattr(sys, "stdin",
+                        type("S", (), {"buffer": io.BytesIO(data)})())
+    assert main(["index", "-", "mysample", "5", "--quiet"]) == 0
+    assert os.path.exists("mysample.05.kin")
+    with open("mysample.05.kin", "rb") as fh:
+        assert fh.read() == want
+    meta = json.load(open("mysample.05.kin.json"))
+    # same content stats + same stream checksum; no input file to stat
+    for key in ("hist", "vals_sum", "vals_count", "num_kmers",
+                "input_file_cheksum"):
+        assert meta[key] == want_meta[key], key
+    assert meta["input_file_size"] is None
+    assert meta["input_file_name"] == "mysample"
+
+    # sharded runs reject stdin explicitly
+    monkeypatch.setattr(sys, "stdin",
+                        type("S", (), {"buffer": io.BytesIO(data)})())
+    assert main(["index", "-", "m2", "5", "--quiet", "--shards", "2"]) == 2
+
+
+def test_cli_merge_buffer_size(tmp_path, rng, monkeypatch):
+    """--buffer-size is applied to .bgz stream buffering and does not change
+    results (reference merger.py:67 role)."""
+    monkeypatch.chdir(tmp_path)
+    bgzs = []
+    for i in range(2):
+        fasta = make_random_fasta(str(tmp_path / f"v{i}.fa"), rng,
+                                  n_records=1, lengths=(260,))
+        main(["index", fasta, "s", "5", "--quiet", "--bgzip"])
+        bgzs.append(f"{fasta}.05.kin.bgz")
+        os.remove(f"{fasta}.05.kin")
+    assert main(["merge", "pa", *bgzs, "--quiet"]) == 0
+    assert main(["merge", "pb", *bgzs, "--quiet",
+                 "--buffer-size", "4096"]) == 0
+    a = np.load("pa.001-255.kma")["matrix"]
+    b = np.load("pb.001-255.kma")["matrix"]
+    assert np.array_equal(a, b)

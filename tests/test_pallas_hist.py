@@ -258,3 +258,72 @@ def test_pallas_rejects_non_pow2_block():
     with pytest.raises(ValueError, match="power of two"):
         saturating_accumulate_tiled(dense, codes, sentinel=1024, block=24,
                                     interpret=True)
+
+
+def test_indexer_multiplane_packed_readback(rng, tmp_path, monkeypatch):
+    """K>=17-shaped branch conditions through create_fasta_index: forced
+    3-bit packed readback over a tuple of sub-planes exercises the per-plane
+    escapes list and base-offset escape patching (not just the raw path)."""
+    import conftest
+
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    fa = str(tmp_path / "mp3.fa")
+    # enough depth that some folded cells exceed the 3-bit escape value (7)
+    seq = "".join(rng.choice(list("ACGT"), size=600))
+    with open(fa, "w") as fh:
+        for i in range(4):
+            fh.write(f">r{i}\n{seq}\n")
+    cfg = IndexConfig(kmer_len=7, chunk_windows=1 << 10)
+    h1 = create_fasta_index(fa, "s", fa, 7, config=cfg, verbose=False)
+    ref_bytes = open(h1.index_file_root, "rb").read()
+
+    monkeypatch.setenv("PYKMER_TPU_MAX_SWEEP_CELLS", "2048")  # fold 8192 → 4
+    cfg3 = IndexConfig(kmer_len=7, chunk_windows=1 << 10, readback="3bit")
+    h2 = create_fasta_index(fa, "s", fa, 7, overwrite=True, config=cfg3,
+                            verbose=False)
+    assert h2.num_kmers == h1.num_kmers
+    assert open(h2.index_file_root, "rb").read() == ref_bytes
+    assert h2.hist == h1.hist
+
+
+def test_bad_max_sweep_cells_raises(monkeypatch):
+    """A non-divisor PYKMER_TPU_MAX_SWEEP_CELLS fails with a descriptive
+    error, not a bare assert."""
+    import pytest
+
+    from pykmer_tpu.index import indexer as ix
+
+    monkeypatch.setenv("PYKMER_TPU_MAX_SWEEP_CELLS", "3000")
+    with pytest.raises(ValueError, match="PYKMER_TPU_MAX_SWEEP_CELLS"):
+        ix._n_planes(4**7 // 2)
+
+
+def test_kernel_xla_multiplane_routes_to_host(rng, tmp_path, monkeypatch):
+    """kernel='xla' cannot drive the multi-sub-plane Pallas tail: auto
+    accumulate routes to the host strategy (same bytes); an explicit
+    accumulate='device' raises."""
+    import conftest
+    import pytest
+
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    fa = str(tmp_path / "kx.fa")
+    conftest.make_random_fasta(fa, rng, n_records=1, lengths=(300,))
+    cfg = IndexConfig(kmer_len=7, chunk_windows=1 << 10)
+    h1 = create_fasta_index(fa, "s", fa, 7, config=cfg, verbose=False)
+    ref_bytes = open(h1.index_file_root, "rb").read()
+
+    monkeypatch.setenv("PYKMER_TPU_MAX_SWEEP_CELLS", "2048")
+    cfg_xla = IndexConfig(kmer_len=7, chunk_windows=1 << 10, kernel="xla")
+    h2 = create_fasta_index(fa, "s", fa, 7, overwrite=True, config=cfg_xla,
+                            verbose=False)
+    assert open(h2.index_file_root, "rb").read() == ref_bytes
+
+    cfg_dev = IndexConfig(kmer_len=7, chunk_windows=1 << 10, kernel="xla",
+                          accumulate="device")
+    with pytest.raises(ValueError, match="kernel='xla'"):
+        create_fasta_index(fa, "s", fa, 7, overwrite=True, config=cfg_dev,
+                           verbose=False)
