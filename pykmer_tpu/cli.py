@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis size")
     p.add_argument("--checkpoint-every", type=int, default=None,
                    help="persist resumable shard checkpoints every N steps")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator host:port — run this "
+                        "same command on every host of the job")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="process count of the multi-host job")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's process index in the multi-host job")
     p.add_argument("--quiet", action="store_true")
 
     p = sub.add_parser(
@@ -128,7 +135,25 @@ def main(argv: Optional[List[str]] = None) -> int:
         # the project is then named after the sample
         from_stdin = args.input_file == "-"
         project = args.sample_name if from_stdin else args.input_file
-        if args.shards or args.data_parallel > 1 or args.checkpoint_every:
+        if args.coordinator or args.num_processes:
+            if from_stdin:
+                print("error: stdin input ('-') is not supported for "
+                      "multi-host jobs", file=sys.stderr)
+                return 2
+            from .index import create_fasta_index_multihost
+
+            header = create_fasta_index_multihost(
+                args.input_file, args.sample_name, args.input_file,
+                args.kmer_len, overwrite=not args.no_overwrite, config=cfg,
+                n_shards_local=args.shards, n_data_local=args.data_parallel,
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+                verify=not args.no_verify, verbose=not args.quiet,
+            )
+            if header is None:  # non-zero process of the job
+                return 0
+        elif args.shards or args.data_parallel > 1 or args.checkpoint_every:
             if from_stdin:
                 print("error: stdin input ('-') is not supported with "
                       "--shards/--data-parallel/--checkpoint-every",

@@ -51,3 +51,74 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert state["kmer_len"] == 5
     clear_shard_checkpoint(tmp)
     assert load_shard_checkpoint(tmp) is None
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_index(tmp_path, rng):
+    """The real thing: a subprocess-driven 2-process jax.distributed CPU job
+    (4 virtual devices each) builds one .kin cooperatively — byte-identical
+    to the single-process pipeline, stats fields equal too."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from conftest import make_random_fasta
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = 5
+
+    # reference: the ordinary single-process build
+    os.makedirs(str(tmp_path / "a"))
+    fa1 = make_random_fasta(str(tmp_path / "a" / "mh.fa"), rng, n_records=3,
+                            lengths=(700, 350, 90))
+    create_fasta_index(fa1, "mh", fa1, k,
+                       config=IndexConfig(kmer_len=k, chunk_windows=1 << 10),
+                       verbose=False)
+    with open(f"{fa1}.{k:02d}.kin", "rb") as fh:
+        want = fh.read()
+    want_meta = json.load(open(f"{fa1}.{k:02d}.kin.json"))
+
+    # same input content in a second directory for the distributed build
+    fa2 = str(tmp_path / "b" / "mh.fa")
+    os.makedirs(os.path.dirname(fa2))
+    with open(fa1, "rb") as src, open(fa2, "wb") as dst:
+        dst.write(src.read())
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
+        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "multihost_worker.py"),
+             str(pid), "2", str(port), fa2, str(k)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "worker 0: ok header=yes" in outs[0], outs[0]
+    assert "worker 1: ok header=no" in outs[1], outs[1]
+
+    with open(f"{fa2}.{k:02d}.kin", "rb") as fh:
+        got = fh.read()
+    assert got == want
+    got_meta = json.load(open(f"{fa2}.{k:02d}.kin.json"))
+    for key in ("hist", "hist_sum", "vals_sum", "vals_count", "vals_min",
+                "vals_max", "num_kmers", "chromosomes", "kmer_len",
+                "input_file_cheksum", "output_file_cheksum"):
+        assert got_meta[key] == want_meta[key], key
