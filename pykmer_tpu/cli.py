@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "O_DIRECT block reads and do not buffer)")
     p.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
     p.add_argument("--threads", type=int, default=DEFAULT_THREADS)
+    p.add_argument("--shards", type=int, default=None,
+                   help="shard each block's compare over N devices "
+                        "(bit-identical to the single-device engine)")
     p.add_argument("--quiet", action="store_true")
 
     p = sub.add_parser("distance", help="Jaccard distances + NJ tree from .kma")
@@ -220,7 +223,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             args.Project_Name, sorted(args.Kmers),
             min_count=args.min_count, max_count=args.max_count,
             block_size=args.block_size, threads=args.threads,
-            buffer_size=args.buffer_size,
+            buffer_size=args.buffer_size, n_shards=args.shards,
             verbose=not args.quiet,
         )
         return 0

@@ -80,6 +80,7 @@ def merge(
     block_size: int = MergeConfig.block_size,
     threads: int = MergeConfig.threads,
     buffer_size: Optional[int] = None,
+    n_shards: Optional[int] = None,
     verbose: bool = True,
 ) -> Tuple[List[Dict[str, Any]], np.ndarray]:
     """Build `{project}.{min:03d}-{max:03d}.kma` (+ `.json`) from N indexes.
@@ -87,6 +88,11 @@ def merge(
     ``buffer_size`` sets the raw-file buffer for gzip-wrapped `.bgz` streams
     (the reference's ``--buffer-size``, merger.py:67 → tools.py:300); raw
     `.kin` inputs use O_DIRECT block reads and ignore it.
+
+    ``n_shards`` > 1 shards each block's validity planes over that many
+    devices (parallel/compare.make_sharded_merge_step) — bit-identical to
+    the single-device engine, replacing the reference's pair-parallel
+    process pool (merger.py:137-161) at mesh scale.
     """
     if not (1 <= min_count and max_count <= 255):
         raise ValueError("count bounds must satisfy 1 <= min and max <= 255")
@@ -116,6 +122,7 @@ def merge(
         block_size=block_size,
         threads=threads,
         buffer_size=buffer_size,
+        n_shards=n_shards,
         verbose=verbose,
     )
 
@@ -182,6 +189,7 @@ def _pairwise_matrix_device(
     threads: int,
     verbose: bool,
     buffer_size: Optional[int] = None,
+    n_shards: Optional[int] = None,
 ) -> np.ndarray:
     """Shared-count N×N matrix; each file streamed exactly once."""
     import jax
@@ -193,16 +201,41 @@ def _pairwise_matrix_device(
     import jax.numpy as jnp
 
     n = len(paths)
-    # pad block to a multiple of 8 so validity bits pack evenly and compare
-    # shapes stay static; zero-padding = invalid cells
-    block_size = max(32, min(block_size, (data_size + 7) & ~7))
-    block_size = (block_size + 7) & ~7
+    if n_shards is not None and n_shards > 1:
+        if len(jax.devices()) < n_shards:
+            raise ValueError(
+                f"--shards {n_shards}: only {len(jax.devices())} devices"
+            )
+        # block must split evenly into per-shard byte slices
+        align = 8 * n_shards
+    else:
+        n_shards = None
+        align = 8
+    # pad block to a multiple of the alignment so validity bits pack evenly
+    # (and split evenly across shards) with static shapes; zero-padding =
+    # invalid cells
+    block_size = max(4 * align, min(block_size, data_size + align - 1))
+    block_size = (block_size + align - 1) // align * align
 
     from ..io.direct import DirectReader, pread_into_mt
     from ..utils.bigmem import big_empty
 
-    step = _make_block_step(n)
-    acc = jnp.zeros((n, n), dtype=jnp.int64)
+    if n_shards:
+        from ..parallel.compare import make_sharded_merge_step
+        from ..parallel.mesh import SHARD_AXIS
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            np.array(jax.devices()[:n_shards]).reshape(n_shards),
+            (SHARD_AXIS,),
+        )
+        step = make_sharded_merge_step(mesh, n)
+        acc = jax.device_put(
+            jnp.zeros((n, n), dtype=jnp.int64), step.acc_sharding
+        )
+    else:
+        step = _make_block_step(n)
+        acc = jnp.zeros((n, n), dtype=jnp.int64)
     # raw `.kin` inputs read O_DIRECT into reusable pooled buffers (buffered
     # reads pay this environment's slow page-cache allocation); `.bgz` keeps
     # the gzip stream

@@ -109,3 +109,34 @@ def test_merge_guards(tmp_path, rng, monkeypatch):
     merge(str(tmp_path / "p"), paths, verbose=False)
     with pytest.raises(FileExistsError):
         merge(str(tmp_path / "p"), paths, verbose=False)
+
+
+def test_sharded_merge_matches_single_device(tmp_path, rng, monkeypatch):
+    """merge(n_shards=4) is bit-identical to the single-device engine (and
+    reachable from the CLI via --shards)."""
+    import numpy as np
+
+    from conftest import make_random_fasta
+    from pykmer_tpu.cli import main
+    from pykmer_tpu.index import create_fasta_index
+
+    monkeypatch.chdir(tmp_path)
+    kins = []
+    for i in range(3):
+        fa = make_random_fasta(str(tmp_path / f"sm{i}.fa"), rng, n_records=2,
+                               lengths=(260, 120))
+        create_fasta_index(fa, "s", fa, 5, verbose=False)
+        kins.append(f"{fa}.05.kin")
+
+    assert main(["merge", "single", *kins, "--quiet"]) == 0
+    assert main(["merge", "sharded", *kins, "--quiet", "--shards", "4",
+                 "--block-size", "1024"]) == 0
+    a = np.load("single.001-255.kma")["matrix"]
+    b = np.load("sharded.001-255.kma")["matrix"]
+    assert np.array_equal(a, b)
+    import json
+
+    ja = json.load(open("single.001-255.kma.json"))
+    jb = json.load(open("sharded.001-255.kma.json"))
+    ja["project_name"] = jb["project_name"] = "X"
+    assert ja == jb
