@@ -137,6 +137,18 @@ def _find_record_start(buf: np.ndarray, start: int, limit: int) -> Optional[int]
     return None
 
 
+def _segment_targets(target: int):
+    """Ramped segment sizes: small first segments so the first device
+    dispatch happens ~0.1 s in (a full-size first segment serialises its
+    whole decode ahead of any upload — measured ~1 s of dead pipeline time),
+    then full-size segments for steady-state decode efficiency."""
+    for t in (target // 8, target // 4, target // 2):
+        if t >= (1 << 20):
+            yield t
+    while True:
+        yield target
+
+
 def _segment_record_bounds(buf: np.ndarray, target: int) -> List[Tuple[int, int]]:
     """Split a raw FASTA byte buffer into ~``target``-byte segments at record
     starts (a ``>`` at a line start).
@@ -147,13 +159,14 @@ def _segment_record_bounds(buf: np.ndarray, target: int) -> List[Tuple[int, int]
     decode/dispatch pipeline below."""
     n = buf.shape[0]
     starts = [0]
-    pos = target
+    tgt = _segment_targets(target)
+    pos = next(tgt)
     while pos < n:
         found = _find_record_start(buf, pos - 1, n)
         if found is None:
             break
         starts.append(found)
-        pos = found + target
+        pos = found + next(tgt)
     return [(starts[i], starts[i + 1] if i + 1 < len(starts) else n)
             for i in range(len(starts))]
 
@@ -259,8 +272,9 @@ def _iter_segments_streaming(
     branch with tiny files)."""
     size = stream.size
     lo = 0
+    tgt = _segment_targets(target)
     while lo < size:
-        scan_from = min(size, lo + target) - 1
+        scan_from = min(size, lo + next(tgt)) - 1
         found = None
         while found is None:
             avail = stream.filled()
@@ -293,8 +307,6 @@ def _iter_pipelined_chunks(
 
     ``sink`` receives "chromosomes" (list) and "total_bp" (int), complete
     once the generator is exhausted (i.e. after the accumulate loop)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from ..io import native as _native
     from ..ops.encode import iter_chunks_packed_lazy, iter_chunks_prepacked
 
@@ -315,9 +327,6 @@ def _iter_pipelined_chunks(
         # both are runnable (decode has slack, transfers do not). The packed
         # decode emits the device upload planes directly, so the dispatch
         # loop below does ZERO packing work — chunks are views.
-        from ..utils import renice_current_thread
-
-        renice_current_thread(10)
         seg = next(seg_iter, None)  # streaming: may block for disk bytes
         if seg is None:
             return None
@@ -334,36 +343,61 @@ def _iter_pipelined_chunks(
 
     sink["chromosomes"] = []
     sink["total_bp"] = 0
-    with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(decode_next)
-        while True:
-            nxt = fut.result()
-            if nxt is None:
-                break
-            fut = ex.submit(decode_next)
-            kind, res = nxt
-            if kind == "packed":
-                bases, mask, n_codes, chroms, bp = res
-                sink["chromosomes"].extend(chroms)
-                sink["total_bp"] += bp
-                if n_codes >= kmer_len:
-                    yield from iter_chunks_prepacked(
-                        bases, mask, n_codes, kmer_len, config.chunk_windows
-                    )
-                del bases, mask
-            else:
-                stream, chroms, bp = res
-                sink["chromosomes"].extend(chroms)
-                sink["total_bp"] += bp
-                if stream.shape[0] >= kmer_len:
-                    padded, n_chunks = chunk_stream(
-                        stream, kmer_len, config.chunk_windows
-                    )
-                    yield from iter_chunks_packed_lazy(
-                        padded, kmer_len, config.chunk_windows, n_chunks
-                    )
-                    del padded
-                del stream
+    # bounded producer: decode runs continuously up to 2 segments ahead of
+    # dispatch (the old one-future-in-flight scheme stalled decode whenever
+    # a segment finished mid-dispatch — measured ~2-3 s of gen-wait per
+    # 840 Mbp run as transport bursts starved the niced decode threads)
+    import queue as _queue
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def producer() -> None:
+        from ..utils import renice_current_thread
+
+        renice_current_thread(10)
+        try:
+            while True:
+                nxt = decode_next()
+                q.put(("ok", nxt))
+                if nxt is None:
+                    return
+        except BaseException as exc:  # re-raised on the dispatch thread
+            q.put(("err", exc))
+
+    import threading as _threading
+
+    prod = _threading.Thread(target=producer, daemon=True)
+    prod.start()
+    while True:
+        status, nxt = q.get()
+        if status == "err":
+            raise nxt
+        if nxt is None:
+            prod.join()
+            break
+        kind, res = nxt
+        if kind == "packed":
+            bases, mask, n_codes, chroms, bp = res
+            sink["chromosomes"].extend(chroms)
+            sink["total_bp"] += bp
+            if n_codes >= kmer_len:
+                yield from iter_chunks_prepacked(
+                    bases, mask, n_codes, kmer_len, config.chunk_windows
+                )
+            del bases, mask
+        else:
+            stream, chroms, bp = res
+            sink["chromosomes"].extend(chroms)
+            sink["total_bp"] += bp
+            if stream.shape[0] >= kmer_len:
+                padded, n_chunks = chunk_stream(
+                    stream, kmer_len, config.chunk_windows
+                )
+                yield from iter_chunks_packed_lazy(
+                    padded, kmer_len, config.chunk_windows, n_chunks
+                )
+                del padded
+            del stream
 
 
 def create_fasta_index(
@@ -576,11 +610,9 @@ def create_fasta_index(
             # ~3 MB/s here). 256-bin stats come from the half-size folded
             # plane (each folded pair adds its value plus exactly one
             # structural zero).
-            import hashlib
-
             from ..formats.header import fast_counts256
             from ..ops.readback import (
-                _pwrite_all,
+                _write_and_hash as _bulk_write_hash,
                 stream_dense_to_out,
                 unfold_canonical,
             )
@@ -598,9 +630,13 @@ def create_fasta_index(
 
                 print(f"  out alloc: {_tb - _ta:8.1f}s", file=_sys.stderr)
             with DirectWriter(tmp, size=data_size) as fd:
+                import time as _t
+
+                _tw = _t.monotonic()
                 if isinstance(folded, np.ndarray):
                     counts = fast_counts256(folded).copy()
                     unfold_canonical(folded, kmer_len, out=out)
+                    output_ck = _bulk_write_hash(fd, out)
                 elif isinstance(folded, tuple):
                     # K >= 17: tuple of folded sub-planes (int32 sweep
                     # limit). Hand ownership to the streamer as a list so
@@ -613,26 +649,21 @@ def create_fasta_index(
                         escapes=escapes,
                     ).copy()
                     del plane_list
+                    output_ck = _bulk_write_hash(fd, out)
                 else:
-                    counts = stream_dense_to_out(
+                    # write + sha256 CHASE the unfold slice-by-slice inside
+                    # the readback (ops.readback.stream_dense_to_out chase
+                    # mode) — no serial whole-plane write+hash pass after
+                    counts, output_ck = stream_dense_to_out(
                         folded, kmer_len, out, mode=config.readback,
-                        escapes=escapes,
-                    ).copy()
+                        escapes=escapes, fd=fd, hash_out=True,
+                    )
+                    counts = counts.copy()
                 counts[0] += data_size // 2
-                # O_DIRECT bulk write and sha256 both stream the finished
-                # RAM plane — run them concurrently (hashlib releases the
-                # GIL on large updates)
-                import time as _t
-
-                _tw = _t.monotonic()
-                wt = threading.Thread(target=_pwrite_all, args=(fd, out, 0))
-                wt.start()
-                output_ck = hashlib.sha256(out).hexdigest()
-                wt.join()
                 if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
                     import sys as _sys
 
-                    print(f"  write+hash: {_t.monotonic() - _tw:8.1f}s",
+                    print(f"  unfold+write+hash: {_t.monotonic() - _tw:8.1f}s",
                           file=_sys.stderr)
             del out
     with stages.stage("metadata"):

@@ -294,6 +294,41 @@ try:
 except AttributeError:  # pragma: no cover - stale .so
     _HAVE_FAST_UNFOLD = False
 
+try:
+    _lib.scan_escapes.restype = ctypes.c_long
+    _lib.scan_escapes.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_long,
+    ]
+    _HAVE_SCAN_ESCAPES = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_SCAN_ESCAPES = False
+
+
+def scan_escapes_native(packed: np.ndarray, width: int) -> np.ndarray:
+    """Local cell indices (uint32) of escape-marker fields (value 2^W - 1)
+    in a bit-packed folded-plane slice — scan only, no unfold. The readback
+    drain phase runs this per landed slice (~GB/s, negligible CPU next to
+    the in-process transfer transport) so the batched escape gather can be
+    issued before the unfold workers start."""
+    packed = np.ascontiguousarray(packed.reshape(-1))
+    assert packed.dtype == np.uint8
+    bytes_per_group = {2: 2, 3: 3, 4: 4}[width]
+    assert packed.shape[0] % bytes_per_group == 0
+    n_cells = packed.shape[0] * 8 // width
+    cap = n_cells // 16 + 4096
+    while True:
+        esc = np.empty(cap, dtype=np.uint32)
+        n_esc = _lib.scan_escapes(
+            packed.ctypes.data, packed.shape[0], width, esc.ctypes.data, cap
+        )
+        if n_esc < 0:
+            raise ValueError(f"bad pack width {width}")
+        if n_esc <= cap:
+            return esc[:n_esc]
+        cap = n_esc  # rare: saturated data; redo with the exact size
+
+
 _CANON_BITS: dict = {}
 _CANON_LOCK = __import__("threading").Lock()
 

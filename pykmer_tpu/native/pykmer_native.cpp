@@ -1262,3 +1262,60 @@ long fasta_decode_joined_packed_mt(const uint8_t* data, long n, long k,
 }
 
 }  // extern "C"
+
+// Scan-only escape detection on a bit-packed folded-plane slice: local cell
+// indices where the W-bit field equals the escape marker (2^W - 1), WITHOUT
+// unfolding. The readback drain phase runs this as each packed slice lands
+// (memory-bound; the group-reject mask makes escape-free groups ~5 ops) so
+// the batched patch gather can be issued the moment the link drains — the
+// unfold workers then chase it with write+hash instead of waiting for a
+// full unfold pass to discover the escape positions.
+template <int W>
+static long scan_escapes_impl(const uint8_t* packed, long n_bytes,
+                              uint32_t* esc, long esc_cap) {
+  const long n_groups =
+      W == 2 ? n_bytes / 2 : W == 3 ? n_bytes / 3 : n_bytes / 4;
+  long n_esc = 0;
+  for (long g = 0; g < n_groups; g++) {
+    uint32_t w;
+    if (W == 2) {
+      uint16_t h;
+      memcpy(&h, packed + 2 * g, 2);
+      w = h;
+    } else if (W == 3) {
+      w = (uint32_t)packed[3 * g] | ((uint32_t)packed[3 * g + 1] << 8) |
+          ((uint32_t)packed[3 * g + 2] << 16);
+    } else {
+      memcpy(&w, packed + 4 * g, 4);
+    }
+    // bit at each field's base position set iff ALL W bits of the field are
+    // set (== marker); the AND chain cannot leak across fields because only
+    // base-position bits survive the final mask
+    uint32_t any;
+    if (W == 2)
+      any = (w & (w >> 1)) & 0x5555u;
+    else if (W == 3)
+      any = (w & (w >> 1) & (w >> 2)) & 0x249249u;
+    else
+      any = (w & (w >> 1) & (w >> 2) & (w >> 3)) & 0x11111111u;
+    while (any) {
+      int b = __builtin_ctz(any);
+      if (n_esc < esc_cap) esc[n_esc] = (uint32_t)(8 * g + b / W);
+      n_esc++;
+      any &= any - 1;
+    }
+  }
+  return n_esc;
+}
+
+extern "C" {
+
+long scan_escapes(const uint8_t* packed, long n_bytes, int width,
+                  uint32_t* esc, long esc_cap) {
+  if (width == 2) return scan_escapes_impl<2>(packed, n_bytes, esc, esc_cap);
+  if (width == 3) return scan_escapes_impl<3>(packed, n_bytes, esc, esc_cap);
+  if (width == 4) return scan_escapes_impl<4>(packed, n_bytes, esc, esc_cap);
+  return -1;
+}
+
+}  // extern "C"

@@ -52,7 +52,8 @@ MAX_SWEEP_CELLS = 1 << 30
 
 
 def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
-            acc_ref, codes_buf, sems, *, tile_rows: int, block: int):
+            acc_ref, codes_buf, sems, *, tile_rows: int, block: int,
+            int8_mxu: bool = False):
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
@@ -107,18 +108,20 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
         # row one-hot is built already transposed ([TR, B]) so the matmul
         # contracts over the last/first dims MXU-natively — contracting dim 0
         # of a [B, TR] operand costs a VMEM relayout per block
+        fdt = jnp.int8 if int8_mxu else jnp.bfloat16
+        adt = jnp.int32 if int8_mxu else jnp.float32
         oh_row_t = (
             row[None, :]
             == jax.lax.broadcasted_iota(jnp.int32, (tile_rows, block), 0)
-        ).astype(jnp.bfloat16)
+        ).astype(fdt)
         oh_col = (
             col[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
-        ).astype(jnp.bfloat16)
+        ).astype(fdt)
         acc_ref[...] += jax.lax.dot_general(
             oh_row_t, oh_col,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=adt,
         )
         return 0
 
@@ -127,7 +130,8 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
         dma(0, 0).start()
         jax.lax.fori_loop(0, n_blocks, body, 0)
-        counts = jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
+        counts = jnp.minimum(acc_ref[...], 255).astype(jnp.int32) \
+            if int8_mxu else jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
         old = dense_in_ref[...].astype(jnp.int32)
         new = jnp.minimum(old + counts, 255)
         dense_out_ref[...] = new.astype(jnp.uint8)
@@ -145,11 +149,16 @@ def accumulate_sorted_pallas(
     tile_rows: int = DEFAULT_TILE_ROWS,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    int8_mxu: bool = False,
 ) -> jax.Array:
     """Apply sorted int32 codes to dense2d [R, 128] uint8 (R % tile_rows == 0).
 
     Codes >= R*128 (sentinels/out-of-range) are ignored. Returns the updated
     dense2d; safe to donate.
+
+    ``int8_mxu`` builds the one-hot factors as int8 with an int32
+    accumulator — v5e's MXU runs int8 at 2x the bf16 MAC rate (394 vs 197
+    T/s), exact for the same reason bf16/f32 is (per-block counts <= block).
     """
     r, lanes = dense2d.shape
     tile_rows = min(tile_rows, r)
@@ -198,12 +207,14 @@ def accumulate_sorted_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_rows, LANES), jnp.float32),
+            pltpu.VMEM((tile_rows, LANES),
+                       jnp.int32 if int8_mxu else jnp.float32),
             pltpu.VMEM((2 * block,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, tile_rows=tile_rows, block=block)
+    kernel = functools.partial(_kernel, tile_rows=tile_rows, block=block,
+                               int8_mxu=int8_mxu)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

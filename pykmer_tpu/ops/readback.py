@@ -378,7 +378,8 @@ def stream_dense_to_out(
     fd: Optional[int] = None,
     escapes=None,
     base: int = 0,
-) -> np.ndarray:
+    hash_out: bool = False,
+):
     """Fetch the folded device plane and expand it straight into ``out``
     (uint8[4^K]) in two phases: (1) drain all packed slice transfers with
     the CPUs otherwise idle — the tunnel transport is in-process and
@@ -394,7 +395,16 @@ def stream_dense_to_out(
     K >= 17 — see ops.pallas_hist.MAX_SWEEP_CELLS): ``base`` is its first
     global folded index, and ``out`` is always the full 4^K array.
 
-    Returns the exact 256-bin counts of the folded (sub-)plane (int64[256])."""
+    With ``hash_out=True`` (full-plane callers only) the function also
+    computes the sha256 of the finished ``out`` buffer and returns
+    ``(counts, hex)``; when the packed fast path is active the write and the
+    hash CHASE the unfold slice-by-slice (escape positions are pre-scanned
+    from the packed bytes as each slice lands, so the patch gather is issued
+    the moment the link drains and every slice is final the instant its
+    unfold ends) instead of running as a serial whole-buffer pass after.
+
+    Returns the exact 256-bin counts of the folded (sub-)plane (int64[256]),
+    or ``(counts, sha256-hex)`` with ``hash_out``."""
     from ..formats.header import fast_counts256
 
     import time as _t
@@ -402,6 +412,8 @@ def stream_dense_to_out(
     size = int(np.prod(dense.shape))
     assert 2 * (base + size) <= out.shape[0] and out.dtype == np.uint8
     assert base == 0 or out.shape[0] > 2 * size  # sub-plane ⇒ larger out
+    if hash_out and base > 0:
+        raise ValueError("hash_out requires a full-plane readback (base == 0)")
     if base > 0 and fd is not None:
         # a sub-plane readback fills only the [lo,hi) + mirrored ranges of
         # ``out``; bulk-writing the whole buffer would persist garbage from
@@ -420,6 +432,8 @@ def stream_dense_to_out(
             unfold_canonical(folded, kmer_len, out=out)
         else:
             unfold_range(folded, out, kmer_len, base)
+        if hash_out:
+            return fast_counts256(folded), _write_and_hash(fd, out)
         if fd is not None:
             _pwrite_all(fd, out, 0)
         return fast_counts256(folded)
@@ -453,6 +467,25 @@ def stream_dense_to_out(
     esc_lists: list = [None] * n_slices
     totals = np.zeros(256, dtype=np.int64)
 
+    try:
+        from ..io import native as _n
+
+        _fused = (_n.unpack_unfold_native
+                  if getattr(_n, "_HAVE_FUSED_UNFOLD", False) else None)
+        _scan = (_n.scan_escapes_native
+                 if getattr(_n, "_HAVE_SCAN_ESCAPES", False) else None)
+    except ImportError:
+        _fused = _scan = None
+    width = {"2bit": 2, "3bit": 3, "packed": 4}.get(mode)
+    # chase mode: write + hash follow the unfold slice-by-slice. Needs every
+    # slice FINAL (escapes patched) the moment its unfold ends, which needs
+    # the escape positions known before the unfold starts — the native
+    # packed-domain scan provides them during the drain (raw2d slices have
+    # no escapes at all). base == 0 is guaranteed here (fd/hash_out guards).
+    chase = (fd is not None or hash_out) and (
+        width is None or (_scan is not None and _fused is not None)
+    )
+
     with keepalive_suspended():
         import time as _time
 
@@ -470,29 +503,62 @@ def stream_dense_to_out(
         # phase 1 — drain transfers with the CPUs idle. The tunnel transport
         # runs in-process and is CPU-bound (TLS/protobuf on a 2-core host):
         # concurrent unpack/unfold work starves it to ~1/10th bandwidth, so
-        # host-side processing waits until the link is drained.
+        # host-side processing waits until the link is drained. (The escape
+        # pre-scan below is ~1.5 ops/byte over the packed slice — microseconds
+        # per slice, no meaningful contention.)
         bufs: list = [None] * n_slices
+        pre_esc: list = [None] * n_slices
+        prescan = chase and width is not None
         t0 = _time.monotonic()
 
         def drain(i: int) -> None:
             bufs[i] = np.asarray(parts[i])
+            if prescan:
+                pre_esc[i] = _scan(bufs[i], width)
 
         with ThreadPoolExecutor(threads) as ex:
             list(ex.map(drain, range(n_slices)))
         del parts
         phase_s["d2h"] = _time.monotonic() - t0
 
-        # phase 2 — unpack + escape scan + stats + unfold on all cores
+        # escape patch plan: GLOBAL folded indices per slice (ascending by
+        # construction), one batched device gather issued immediately — the
+        # link just drained, so it rides an idle transport while the unfold
+        # workers start on the early slices
+        patch_fut = None
+        slice_cut = None
+        if prescan:
+            cell_bounds = np.array(
+                [bounds[i] * cells_per_row for i in range(n_slices + 1)],
+                dtype=np.int64,
+            )
+            esc_parts = [
+                (cell_bounds[i] + pre_esc[i]).astype(np.int64)
+                for i in range(n_slices) if pre_esc[i].shape[0]
+            ]
+            esc_idx = (np.concatenate(esc_parts) if esc_parts
+                       else np.empty(0, dtype=np.int64))
+            if esc_idx.shape[0]:
+                slice_cut = np.searchsorted(esc_idx, cell_bounds)
+                gather_pool = ThreadPoolExecutor(1)
+
+                def gather_and_place():
+                    vals = _gather_escapes(dense, esc_idx)
+                    u = (base + esc_idx).astype(np.uint64)
+                    rc = _rc_codes_np(u, kmer_len)
+                    pos = np.where(u <= rc, u, np.uint64(full - 1) - u)
+                    return pos, vals
+
+                patch_fut = gather_pool.submit(gather_and_place)
+                gather_pool.shutdown(wait=False)
+
+        # phase 2 — unpack + stats + unfold on all cores; in chase mode a
+        # single chaser thread walks slices in order, patches each slice's
+        # escapes, streams its two finished regions to disk, and advances a
+        # sha256 frontier through the first half of the plane (the second
+        # half completes in reverse slice order, so it hashes as one pass
+        # right after the last slice — the only serial remainder).
         t0 = _time.monotonic()
-
-        try:
-            from ..io import native as _n
-
-            _fused = (_n.unpack_unfold_native
-                      if getattr(_n, "_HAVE_FUSED_UNFOLD", False) else None)
-        except ImportError:
-            _fused = None
-        width = {"2bit": 2, "3bit": 3, "packed": 4}.get(mode)
 
         def work(i: int) -> np.ndarray:
             buf, bufs[i] = bufs[i], None
@@ -500,7 +566,7 @@ def stream_dense_to_out(
             if _fused is not None and width is not None:
                 # one fused pass: unfold + 256-bin counts + escape indices
                 counts, esc_local = _fused(buf, width, out, kmer_len, lo)
-                if esc_local.shape[0]:
+                if not prescan and esc_local.shape[0]:
                     esc_lists[i] = esc_local.astype(np.int64) + lo
                 return counts
             folded_slice = buf.reshape(-1) if unpack is None else unpack(buf)
@@ -512,41 +578,103 @@ def stream_dense_to_out(
             unfold_range(folded_slice, out, kmer_len, lo)
             return counts
 
-        with ThreadPoolExecutor(min(threads, 8)) as ex:
-            for c in ex.map(work, range(n_slices)):
-                totals += c
-        phase_s["cpu"] = _time.monotonic() - t0
+        if chase:
+            import hashlib
+            import threading as _threading
+
+            unfolded = [_threading.Event() for _ in range(n_slices)]
+            sink: dict = {}
+            patch_info: dict = {}
+
+            def chaser() -> None:
+                h = hashlib.sha256() if hash_out else None
+                writers = ThreadPoolExecutor(2) if fd is not None else None
+                pos = vals = None
+                for i in range(n_slices):
+                    unfolded[i].wait()
+                    if patch_fut is not None:
+                        if pos is None:
+                            pos, vals = patch_fut.result()
+                            patch_info["pos"], patch_info["vals"] = pos, vals
+                        a, b = slice_cut[i], slice_cut[i + 1]
+                        if b > a:
+                            out[pos[a:b]] = vals[a:b]
+                    clo = bounds[i] * cells_per_row
+                    chi = bounds[i + 1] * cells_per_row
+                    if writers is not None:
+                        writers.submit(_pwrite_all, fd, out[clo:chi], clo)
+                        writers.submit(
+                            _pwrite_all, fd, out[full - chi : full - clo],
+                            full - chi,
+                        )
+                    if h is not None:
+                        h.update(out[clo:chi])
+                if h is not None:
+                    # second half: mirrors complete in reverse slice order —
+                    # all present once the loop above finishes
+                    h.update(out[full // 2 :])
+                    sink["hex"] = h.hexdigest()
+                if writers is not None:
+                    writers.shutdown(wait=True)
+
+            chase_thread = _threading.Thread(target=chaser, daemon=True)
+            chase_thread.start()
+
+            def work_chase(i: int) -> np.ndarray:
+                try:
+                    return work(i)
+                finally:
+                    unfolded[i].set()
+
+            with ThreadPoolExecutor(min(threads, 8)) as ex:
+                for c in ex.map(work_chase, range(n_slices)):
+                    totals += c
+            chase_thread.join()
+            if patch_fut is not None:
+                vals = patch_info["vals"]
+                totals[escape] -= vals.shape[0]
+                totals += np.bincount(vals, minlength=256)
+            phase_s["cpu+wh"] = _time.monotonic() - t0
+        else:
+            with ThreadPoolExecutor(min(threads, 8)) as ex:
+                for c in ex.map(work, range(n_slices)):
+                    totals += c
+            phase_s["cpu"] = _time.monotonic() - t0
 
         # one batched gather patches every escape cell (folded index u lands
         # at the canonical member of {u, M-u} in the unfolded plane). The
         # esc_lists hold GLOBAL folded indices (lo includes base); the device
-        # gather needs plane-LOCAL ones.
+        # gather needs plane-LOCAL ones. (Chase mode patched per slice above.)
         t0 = _t.monotonic()
         esc_all = [e for e in esc_lists if e is not None]
         if esc_all:
-            esc_idx = np.concatenate(esc_all)
-            vals = _gather_escapes(dense, esc_idx - base)
-            u = esc_idx.astype(np.uint64)
+            esc_idx2 = np.concatenate(esc_all)
+            vals = _gather_escapes(dense, esc_idx2 - base)
+            u = esc_idx2.astype(np.uint64)
             rc = _rc_codes_np(u, kmer_len)
             pos = np.where(u <= rc, u, np.uint64(full - 1) - u)
             out[pos] = vals
-            totals[escape] -= esc_idx.shape[0]
+            totals[escape] -= esc_idx2.shape[0]
             totals += np.bincount(vals, minlength=256)
         phase_s["patch"] = _t.monotonic() - t0
         phase_s["pick"] = _t_pick
         phase_s["pack"] = _t_pack
 
-    if fd is not None:
-        _pwrite_all(fd, out, 0)
+    if not chase and (fd is not None or hash_out):
+        sha_hex = _write_and_hash(fd, out) if hash_out else None
+        if not hash_out and fd is not None:
+            _pwrite_all(fd, out, 0)
     if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
         import sys
 
         print(
-            f"  readback[{mode}]: " + "  ".join(
+            f"  readback[{mode}{'/chase' if chase else ''}]: " + "  ".join(
                 f"{k} {v:8.1f}s" for k, v in phase_s.items()
             ),
             file=sys.stderr,
         )
+    if hash_out:
+        return totals, (sink["hex"] if chase else sha_hex)
     return totals
 
 
@@ -589,6 +717,23 @@ def stream_dense_planes_to_out(
         del p  # free the sub-plane's HBM before packing the next one
         base += size
     return totals
+
+
+def _write_and_hash(fd, arr: np.ndarray) -> str:
+    """Concurrent whole-buffer write + sha256 (hashlib releases the GIL on
+    large updates); returns the hex digest. ``fd`` may be None (hash only).
+    Fallback for readback paths that cannot chase (see stream_dense_to_out)."""
+    import hashlib
+    import threading
+
+    wt = None
+    if fd is not None:
+        wt = threading.Thread(target=_pwrite_all, args=(fd, arr, 0))
+        wt.start()
+    hex_ = hashlib.sha256(arr).hexdigest()
+    if wt is not None:
+        wt.join()
+    return hex_
 
 
 def _pwrite_all(fd, arr: np.ndarray, offset: int) -> None:

@@ -1,0 +1,166 @@
+"""Device-step microbenchmark: encode / sort / sweep on one TPU chip.
+
+The end-to-end pipeline hides the device step behind the host/wire pipeline
+(docs/PERFORMANCE.md), but the step itself is the single-chip MFU story and
+caps throughput on any faster-link deployment. This script measures each
+stage of the per-chunk step at realistic shape (default: K=15, 16.7M
+windows), sweeps the kernel variants, and prints a windows/s table plus an
+MFU estimate for the sweep.
+
+Stages (matching index.indexer._make_device_step):
+  encode : unpack 2-bit bases -> canonical codes -> fold
+  sort   : jnp.sort of the folded codes (int32 / f32-bitcast variants)
+  sweep  : Pallas tile sweep (bf16 / int8 MXU variants, tile_rows sweep)
+
+Usage: python scripts/bench_device_step.py [K] [windows]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, reps=5):
+    """Best-of-reps wall time of jitted fn(*args) with a warmup call."""
+    out = jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main() -> None:
+    kmer_len = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    windows = int(sys.argv[2]) if len(sys.argv) > 2 else (1 << 24)
+    fold_size = 4**kmer_len // 2
+    span = windows + kmer_len - 1
+
+    from pykmer_tpu.ops.encode import (
+        canonical_codes,
+        fold_codes,
+        pack_base_stream,
+        unpack_base_2bit,
+    )
+    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_pallas
+
+    print(f"backend={jax.default_backend()} K={kmer_len} "
+          f"windows={windows:,} fold_size={fold_size:,}", file=sys.stderr)
+
+    rng = np.random.default_rng(7)
+    bases = rng.integers(0, 4, size=span).astype(np.uint8)
+    bases2, _maskbits = pack_base_stream(bases)
+    dev_b = jnp.asarray(bases2)
+
+    # --- encode ---------------------------------------------------------
+    @jax.jit
+    def encode(b):
+        return fold_codes(
+            canonical_codes(unpack_base_2bit(b, span), kmer_len), kmer_len
+        )
+
+    t_enc, codes = timed(encode, dev_b)
+    codes_i32 = jax.block_until_ready(codes.astype(jnp.int32))
+
+    # --- sort variants --------------------------------------------------
+    sort_i32 = jax.jit(lambda c: jnp.sort(c))
+    t_sort, sorted_codes = timed(sort_i32, codes_i32)
+
+    @jax.jit
+    def sort_f32_bitcast(c):
+        # non-negative int32 < 2^30 order-embeds into positive f32 bitcasts
+        # (exponent field < 0xFF: never NaN/inf), so a float sort returns
+        # the same permutation; measures whether the TPU sorts f32 faster
+        f = jax.lax.bitcast_convert_type(c, jnp.float32)
+        return jax.lax.bitcast_convert_type(jnp.sort(f), jnp.int32)
+
+    t_sortf, sorted_f = timed(sort_f32_bitcast, codes_i32)
+    assert np.array_equal(np.asarray(sorted_f), np.asarray(sorted_codes))
+
+    seg_rows = 16
+
+    @jax.jit
+    def sort_segmented(c):
+        # 16 independent segment sorts (what a multi-stream sweep would
+        # consume); lower bound on what segmenting could buy
+        return jnp.sort(c.reshape(seg_rows, -1), axis=1)
+
+    pad = (-codes_i32.shape[0]) % seg_rows
+    codes_seg = jnp.concatenate(
+        [codes_i32, jnp.full((pad,), np.int32(2**31 - 1), jnp.int32)]
+    ) if pad else codes_i32
+    t_sortseg, _ = timed(sort_segmented, codes_seg)
+
+    # --- sweep variants -------------------------------------------------
+    results = {}
+    for tile_rows in (256, 512, 1024):
+        for int8_mxu in (False, True):
+            dense = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
+
+            def sweep(d, s, tr=tile_rows, i8=int8_mxu):
+                return accumulate_sorted_pallas(d, s, tile_rows=tr,
+                                                int8_mxu=i8)
+
+            swj = jax.jit(sweep, donate_argnums=(0,))
+            try:
+                t, out = timed(swj, dense, sorted_codes)
+            except Exception as exc:  # Mosaic may reject a variant
+                print(f"  sweep tr={tile_rows} int8={int8_mxu}: "
+                      f"FAILED {type(exc).__name__}: {str(exc)[:120]}",
+                      file=sys.stderr)
+                continue
+            results[(tile_rows, int8_mxu)] = t
+            del out
+
+    # correctness spot-check of the int8 variant vs bf16
+    dense_a = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
+    dense_b = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
+    a = jax.block_until_ready(accumulate_sorted_pallas(dense_a, sorted_codes))
+    int8_ok = None
+    if any(k[1] for k in results):
+        b = jax.block_until_ready(
+            accumulate_sorted_pallas(dense_b, sorted_codes, int8_mxu=True)
+        )
+        int8_ok = bool(jnp.array_equal(a, b))
+        print(f"int8 sweep parity vs bf16: {int8_ok}", file=sys.stderr)
+
+    # --- report ---------------------------------------------------------
+    m = windows
+    print(f"\n== device step, K={kmer_len}, {m:,} windows ==")
+    print(f"encode+fold                  {t_enc * 1e3:8.1f} ms"
+          f"  ({m / t_enc / 1e6:7.1f} M win/s)")
+    print(f"sort int32                   {t_sort * 1e3:8.1f} ms")
+    print(f"sort f32-bitcast             {t_sortf * 1e3:8.1f} ms")
+    print(f"sort 16-segment              {t_sortseg * 1e3:8.1f} ms")
+    best_sort = min(t_sort, t_sortf)
+    print()
+    best_key, best_sweep = None, float("inf")
+    for (tr, i8), t in sorted(results.items()):
+        n_tiles = fold_size // (tr * 128)
+        # MXU MACs: ~2 blocks-per-tile slop from window alignment
+        blocks = m // 1024 + n_tiles * 2
+        macs = blocks * tr * 1024 * 128
+        peak = 394e12 if i8 else 197e12
+        mfu = 2 * macs / t / peak
+        tag = "int8" if i8 else "bf16"
+        print(f"sweep tr={tr:5d} {tag}          {t * 1e3:8.1f} ms"
+              f"  (~{mfu * 100:4.1f}% MXU of {'394T' if i8 else '197T'})")
+        if t < best_sweep:
+            best_key, best_sweep = (tr, i8), t
+    step = t_enc + best_sort + best_sweep
+    print(f"\nbest step = encode {t_enc * 1e3:.1f} + sort "
+          f"{best_sort * 1e3:.1f} + sweep {best_sweep * 1e3:.1f} ms "
+          f"-> {m / step / 1e6:,.0f} M windows/s "
+          f"(sweep variant tr={best_key[0]} int8={best_key[1]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -252,6 +252,21 @@ def test_streaming_segments_partial_fill_rescan(tmp_path, rng, monkeypatch):
         return real_find(b, lo, hi)
 
     monkeypatch.setattr(idx, "_find_record_start", counting_find)
+
+    # throttle the reader so the scanner reliably reaches the fill point
+    # between extents (under full-suite load the reader can otherwise outrun
+    # the scanner entirely and the rescan branch is never taken)
+    import time as _time
+
+    from pykmer_tpu.io import direct as _direct
+
+    real_pread = _direct.pread_into_mt
+
+    def slow_pread(rd, dst, pos, **kw):
+        _time.sleep(0.0002)
+        return real_pread(rd, dst, pos, **kw)
+
+    monkeypatch.setattr(_direct, "pread_into_mt", slow_pread)
     # extent=7 (odd) guarantees some fill points split a "\n>" pair
     stream = idx._StreamingInput(fasta, extent=7)
     got = list(idx._iter_segments_streaming(stream, target=1000,

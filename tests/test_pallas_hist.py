@@ -29,6 +29,26 @@ def test_pallas_accumulate_matches_oracle(rng, tile_rows, block):
     assert np.array_equal(np.asarray(dense), want)
 
 
+def test_pallas_accumulate_int8_mxu_matches_bf16(rng):
+    """int8-MXU one-hot variant (v5e runs int8 at 2x bf16 MAC rate) must be
+    bit-identical to the bf16/f32 path, saturation included."""
+    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_pallas
+
+    kmer_len = 7
+    d = 4**kmer_len
+    codes = rng.integers(0, d, size=4096).astype(np.int64)
+    codes[:2000] = rng.integers(0, 4, size=2000)  # saturating hotspot
+    sorted_codes = jnp.asarray(np.sort(codes).astype(np.int32))
+    dense_a = jnp.zeros((d // 128, 128), dtype=jnp.uint8)
+    dense_b = jnp.zeros((d // 128, 128), dtype=jnp.uint8)
+    a = accumulate_sorted_pallas(dense_a, sorted_codes, tile_rows=8,
+                                 block=32, interpret=True)
+    b = accumulate_sorted_pallas(dense_b, sorted_codes, tile_rows=8,
+                                 block=32, interpret=True, int8_mxu=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(a).max()) == 255
+
+
 def test_pallas_accumulate_saturation(rng):
     d = 4**7
     dense = jnp.zeros(d, dtype=jnp.uint8)
@@ -327,3 +347,72 @@ def test_kernel_xla_multiplane_routes_to_host(rng, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="kernel='xla'"):
         create_fasta_index(fa, "s", fa, 7, overwrite=True, config=cfg_dev,
                            verbose=False)
+
+
+def test_stream_dense_chase_write_hash(rng, tmp_path):
+    """Chase-mode readback (fd + hash_out: escape pre-scan during drain,
+    per-slice patch, write+hash following the unfold) must produce the same
+    file bytes, counts, and checksum as the non-chase path."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from pykmer_tpu.io.direct import DirectWriter
+    from pykmer_tpu.ops.readback import stream_dense_to_out
+
+    kmer_len = 9
+    fold = 4**kmer_len // 2  # 2^17 cells
+    vals = rng.poisson(1.5, size=fold).astype(np.uint8)
+    hot = rng.integers(0, fold, size=200)
+    vals[hot] = rng.integers(7, 255, size=200).astype(np.uint8)  # escapes
+    dense = jnp.asarray(vals.reshape(-1, 128))
+
+    for mode in ("2bit", "3bit", "packed"):
+        ref = np.zeros(2 * fold, dtype=np.uint8)
+        counts_ref = stream_dense_to_out(dense, kmer_len, ref, mode=mode)
+
+        out = np.zeros(2 * fold, dtype=np.uint8)
+        path = str(tmp_path / f"chase_{mode}.bin")
+        # tiny slices force many chase steps
+        with DirectWriter(path, size=2 * fold) as fd:
+            counts, hex_ = stream_dense_to_out(
+                dense, kmer_len, out, mode=mode, slice_bytes=1 << 12,
+                fd=fd, hash_out=True,
+            )
+        assert np.array_equal(counts, counts_ref), mode
+        assert np.array_equal(out, ref), mode
+        file_bytes = open(path, "rb").read()
+        assert file_bytes == ref.tobytes(), mode
+        assert hex_ == hashlib.sha256(ref).hexdigest(), mode
+
+
+def test_indexer_chase_readback_end_to_end(rng, tmp_path):
+    """create_fasta_index through the chase tail (forced packed readback on
+    the single-plane device strategy): bytes + stored output checksum must
+    match the default run and the real file hash."""
+    import hashlib
+    import json
+
+    import conftest
+
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    fa = str(tmp_path / "chase.fa")
+    conftest.make_random_fasta(fa, rng, n_records=3, lengths=(700, 400, 300))
+    k = 7
+    h1 = create_fasta_index(
+        fa, "s", fa, k, config=IndexConfig(kmer_len=k, chunk_windows=1 << 10),
+        verbose=False,
+    )
+    ref_bytes = open(h1.index_file_root, "rb").read()
+
+    cfg = IndexConfig(kmer_len=k, chunk_windows=1 << 10, accumulate="device",
+                      readback="3bit")
+    h2 = create_fasta_index(fa, "s", fa, k, overwrite=True, config=cfg,
+                            verbose=False)
+    got = open(h2.index_file_root, "rb").read()
+    assert got == ref_bytes
+    meta = json.load(open(h2.metadata_file))
+    # reference's key spelling ("cheksum") is part of the byte-exact schema
+    assert meta["output_file_cheksum"] == hashlib.sha256(got).hexdigest()
