@@ -8,7 +8,9 @@ the real tomato FASTA cannot be downloaded).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_K (15), BENCH_BP (2**28), BENCH_VERIFY (0), BENCH_WRITE (1).
+Env knobs: BENCH_K (15), BENCH_BP (840M), BENCH_VERIFY (0), BENCH_WRITE (1),
+BENCH_GENOME (uniform|repeat — repeat adds power-law repeat families so the
+saturation + escape-dense readback paths run at scale), BENCH_REPEATS (3).
 """
 
 import json
@@ -16,14 +18,25 @@ import os
 import sys
 import time
 
-BASELINE_BP_S = 503_287
+# reference bp/s by K (pypy, 1 core — BASELINE.md / reference README.md:43-50)
+BASELINES = {3: 797_621, 5: 809_751, 7: 787_715, 9: 706_750, 11: 702_199,
+             13: 677_203, 15: 503_287, 17: 128_452}
+BASELINE_BP_S = BASELINES[15]
 
 
 def log(*args):
     print(*args, file=sys.stderr)
 
 
-def make_genome(path: str, total_bp: int, seed: int = 0) -> None:
+def make_genome(path: str, total_bp: int, seed: int = 0,
+                repeats: bool = False) -> None:
+    """Synthetic FASTA. ``repeats=False``: uniform-random (near-unique
+    k-mers, the light-tailed case). ``repeats=True``: ~25% of bases belong
+    to a transposon-like repeat library with power-law copy numbers — many
+    count-space cells land in the escape bands (>=7) and thousands saturate
+    (>=255), exercising the escape-dense readback and saturating-add paths
+    at hardware scale (real plant genomes are repeat-heavy; the uniform
+    variant never stresses those paths)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -33,10 +46,26 @@ def make_genome(path: str, total_bp: int, seed: int = 0) -> None:
     n_chroms = 8
     per = total_bp // n_chroms
     line = 80
+    lib = None
+    if repeats:
+        # 2000 motifs x 5 kb; motif i's insertion probability ~ 1/(i+1)
+        # (Zipf): the head families reach thousands of copies (saturation),
+        # the tail sits in the 2-200 band (escape-dense readback)
+        n_motifs, motif_len = 2000, 5000
+        lib = lut[np.frombuffer(rng.bytes(n_motifs * motif_len),
+                                dtype=np.uint8)].reshape(n_motifs, motif_len)
+        w = 1.0 / np.arange(1, n_motifs + 1)
+        w /= w.sum()
     with open(path, "wb") as fh:
         for c in range(n_chroms):
             fh.write(f">chr{c + 1} synthetic\n".encode())
             seq = lut[np.frombuffer(rng.bytes(per), dtype=np.uint8)]
+            if repeats:
+                n_ins = per // (4 * lib.shape[1])  # ~25% repeat content
+                which = rng.choice(lib.shape[0], size=n_ins, p=w)
+                where = rng.integers(0, per - lib.shape[1], size=n_ins)
+                for m, pos in zip(which, where):
+                    seq[pos : pos + lib.shape[1]] = lib[m]
             # sprinkle N runs like real assemblies
             for _ in range(5):
                 start = int(rng.integers(0, max(per - 1000, 1)))
@@ -59,14 +88,19 @@ def main() -> None:
     verify = os.environ.get("BENCH_VERIFY", "0") == "1"
     do_write = os.environ.get("BENCH_WRITE", "1") == "1"
 
+    genome = os.environ.get("BENCH_GENOME", "uniform")
+    if genome not in ("uniform", "repeat"):
+        raise SystemExit(f"BENCH_GENOME must be uniform|repeat, got {genome}")
+
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_data")
     os.makedirs(bench_dir, exist_ok=True)
-    fasta = os.path.join(bench_dir, f"synthetic_{total_bp}.fa")
+    tag = "" if genome == "uniform" else "_repeat"
+    fasta = os.path.join(bench_dir, f"synthetic{tag}_{total_bp}.fa")
     if not os.path.exists(fasta):
-        log(f"generating {total_bp:,} bp synthetic genome at {fasta}")
+        log(f"generating {total_bp:,} bp {genome} synthetic genome at {fasta}")
         t0 = time.time()
-        make_genome(fasta, total_bp)
+        make_genome(fasta, total_bp, repeats=genome == "repeat")
         log(f"  generated in {time.time() - t0:.1f}s")
 
     from pykmer_tpu.config import IndexConfig
@@ -138,11 +172,12 @@ def main() -> None:
     if not do_write:
         pass  # file write is part of the measured pipeline by default
 
+    base = BASELINES.get(kmer_len, BASELINE_BP_S)
     print(json.dumps({
-        "metric": f"index_bp_per_s_k{kmer_len}_1chip",
+        "metric": f"index_bp_per_s_k{kmer_len}_1chip{tag}",
         "value": round(bp_s),
         "unit": "bp/s",
-        "vs_baseline": round(bp_s / BASELINE_BP_S, 2),
+        "vs_baseline": round(bp_s / base, 2),
     }))
 
 

@@ -641,15 +641,18 @@ def create_fasta_index(
                     # K >= 17: tuple of folded sub-planes (int32 sweep
                     # limit). Hand ownership to the streamer as a list so
                     # each sub-plane's HBM frees as soon as it is unfolded.
+                    # One chase sink spans all sub-planes: write + hash
+                    # follow the unfolds across plane boundaries instead of
+                    # a trailing serial 4^K-byte pass (~25 s at K=17).
                     from ..ops.readback import stream_dense_planes_to_out
 
                     plane_list, folded = list(folded), None
-                    counts = stream_dense_planes_to_out(
+                    counts, output_ck = stream_dense_planes_to_out(
                         plane_list, kmer_len, out, mode=config.readback,
-                        escapes=escapes,
-                    ).copy()
+                        escapes=escapes, fd=fd, hash_out=True,
+                    )
+                    counts = counts.copy()
                     del plane_list
-                    output_ck = _bulk_write_hash(fd, out)
                 else:
                     # write + sha256 CHASE the unfold slice-by-slice inside
                     # the readback (ops.readback.stream_dense_to_out chase
@@ -753,6 +756,20 @@ def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bo
     )
 
 
+def _int8_sweep() -> bool:
+    """Opt-in int8 one-hots for the Pallas sweep (PYKMER_TPU_INT8_SWEEP=1).
+
+    Standalone, the int8 variant is ~15% faster than bf16 (26.7 vs 31.5 ms
+    per 16.7M-code sweep at K=15, scripts/bench_device_step.py — v5e's MXU
+    runs int8 at 2x the bf16 MAC rate) and bit-identical (int32 accumulator;
+    parity proven on hardware and in interpret tests). FUSED into the full
+    step program (unpack+encode+sort+sweep in one XLA program), however, the
+    int8 program never completed on this environment's axon backend (bf16
+    control finishes, int8 exceeds 7x its time) — so bf16 stays the default
+    until the fused-int8 path is validated on a directly-attached TPU."""
+    return os.environ.get("PYKMER_TPU_INT8_SWEEP", "0") == "1"
+
+
 @functools.lru_cache(maxsize=None)
 def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
                       masked: bool = True, n_planes: int = 1):
@@ -798,13 +815,15 @@ def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
             dense = accumulate_sorted_planes(
                 dense, sorted_codes,
                 interpret=_jax.default_backend() != "tpu",
+                int8_mxu=_int8_sweep(),
             )
         elif use_pallas:
             from ..ops.pallas_hist import accumulate_sorted_pallas
 
             sorted_codes = jnp.sort(codes.astype(jnp.int32))
             nvalid = (codes < fold_size).sum(dtype=jnp.int64)
-            dense = accumulate_sorted_pallas(dense, sorted_codes)
+            dense = accumulate_sorted_pallas(dense, sorted_codes,
+                                             int8_mxu=_int8_sweep())
         else:
             flat = dense.reshape(-1)
             flat, nvalid = saturating_accumulate(flat, codes, sentinel=fold_size)

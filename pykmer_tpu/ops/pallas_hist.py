@@ -254,6 +254,7 @@ def accumulate_sorted_planes(
     tile_rows: int = DEFAULT_TILE_ROWS,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    int8_mxu: bool = False,
 ):
     """Apply sorted codes to a folded plane carried as a tuple of [R_q, 128]
     uint8 sub-planes covering contiguous code ranges (see MAX_SWEEP_CELLS).
@@ -270,7 +271,7 @@ def accumulate_sorted_planes(
         out.append(
             accumulate_sorted_pallas(
                 p, local, tile_rows=min(tile_rows, p.shape[0]), block=block,
-                interpret=interpret,
+                interpret=interpret, int8_mxu=int8_mxu,
             )
         )
         base += cells

@@ -368,6 +368,55 @@ def _gather_escapes(dense: jax.Array, esc_idx: np.ndarray) -> np.ndarray:
     return _gather_batched(dense, esc_idx)
 
 
+class _ChaseSink:
+    """Write + hash chasing finalized regions of the unfolded plane.
+
+    ``region_done(lo, hi)`` is called with ascending first-half cell ranges
+    as they become final (unfolded + escape-patched): it streams the range
+    and its mirror to disk via background writers and advances a sha256
+    frontier through the first half of ``out`` — the second half completes
+    in reverse region order, so it hashes as one pass in ``finish()`` (the
+    only serial remainder). One sink may span multiple sub-planes (the
+    K >= 17 tuple layout): planes are processed in ascending base order, so
+    regions still arrive in order. Calls must come from one thread at a time
+    (the per-plane chaser threads run sequentially)."""
+
+    def __init__(self, out: np.ndarray, fd, hash_out: bool):
+        import hashlib
+
+        self.out = out
+        self.fd = fd
+        self.full = out.shape[0]
+        self.h = hashlib.sha256() if hash_out else None
+        self.writers = ThreadPoolExecutor(2) if fd is not None else None
+        self.expected = 0
+
+    def region_done(self, lo: int, hi: int) -> None:
+        if hi <= lo:
+            return
+        if self.writers is not None:
+            self.writers.submit(_pwrite_all, self.fd, self.out[lo:hi], lo)
+            self.writers.submit(
+                _pwrite_all, self.fd,
+                self.out[self.full - hi : self.full - lo], self.full - hi,
+            )
+        if self.h is not None:
+            assert lo == self.expected, (lo, self.expected)
+            self.h.update(self.out[lo:hi])
+            self.expected = hi
+
+    def finish(self) -> Optional[str]:
+        hex_ = None
+        if self.h is not None:
+            assert self.expected == self.full // 2, \
+                (self.expected, self.full // 2)
+            self.h.update(self.out[self.full // 2 :])
+            hex_ = self.h.hexdigest()
+        if self.writers is not None:
+            self.writers.shutdown(wait=True)
+        return hex_
+
+
 def stream_dense_to_out(
     dense: jax.Array,
     kmer_len: int,
@@ -379,6 +428,7 @@ def stream_dense_to_out(
     escapes=None,
     base: int = 0,
     hash_out: bool = False,
+    sink: Optional[_ChaseSink] = None,
 ):
     """Fetch the folded device plane and expand it straight into ``out``
     (uint8[4^K]) in two phases: (1) drain all packed slice transfers with
@@ -403,6 +453,10 @@ def stream_dense_to_out(
     the moment the link drains and every slice is final the instant its
     unfold ends) instead of running as a serial whole-buffer pass after.
 
+    A multi-sub-plane caller passes a shared ``sink`` instead of fd/hash_out
+    (see :class:`_ChaseSink` / :func:`stream_dense_planes_to_out`): regions
+    then chase across plane boundaries and the CALLER finishes the sink.
+
     Returns the exact 256-bin counts of the folded (sub-)plane (int64[256]),
     or ``(counts, sha256-hex)`` with ``hash_out``."""
     from ..formats.header import fast_counts256
@@ -416,12 +470,22 @@ def stream_dense_to_out(
         raise ValueError("hash_out requires a full-plane readback (base == 0)")
     if base > 0 and fd is not None:
         # a sub-plane readback fills only the [lo,hi) + mirrored ranges of
-        # ``out``; bulk-writing the whole buffer would persist garbage from
-        # sub-planes not yet unfolded
+        # ``out``; writes to it must route through a shared _ChaseSink
         raise ValueError(
             "fd is only valid for a full-plane readback (base == 0); "
-            "sub-plane callers must write the assembled out buffer themselves"
+            "sub-plane callers pass a shared sink (stream_dense_planes_to_out)"
         )
+    own_sink = False
+    if sink is None and (fd is not None or hash_out):
+        sink = _ChaseSink(out, fd, hash_out)
+        own_sink = True
+
+    def _done(counts):
+        if own_sink:
+            hex_ = sink.finish()
+            return (counts, hex_) if hash_out else counts
+        return counts
+
     _t0 = _t.monotonic()
     mode = _pick_mode(dense, size, mode, escapes=escapes)
     _t_pick = _t.monotonic() - _t0
@@ -432,11 +496,9 @@ def stream_dense_to_out(
             unfold_canonical(folded, kmer_len, out=out)
         else:
             unfold_range(folded, out, kmer_len, base)
-        if hash_out:
-            return fast_counts256(folded), _write_and_hash(fd, out)
-        if fd is not None:
-            _pwrite_all(fd, out, 0)
-        return fast_counts256(folded)
+        if sink is not None:
+            sink.region_done(base, base + size)
+        return _done(fast_counts256(folded))
 
     _t0 = _t.monotonic()
     if mode == "raw2d":
@@ -477,12 +539,13 @@ def stream_dense_to_out(
     except ImportError:
         _fused = _scan = None
     width = {"2bit": 2, "3bit": 3, "packed": 4}.get(mode)
-    # chase mode: write + hash follow the unfold slice-by-slice. Needs every
-    # slice FINAL (escapes patched) the moment its unfold ends, which needs
-    # the escape positions known before the unfold starts — the native
-    # packed-domain scan provides them during the drain (raw2d slices have
-    # no escapes at all). base == 0 is guaranteed here (fd/hash_out guards).
-    chase = (fd is not None or hash_out) and (
+    # fine-grained chase: write + hash follow the unfold slice-by-slice.
+    # Needs every slice FINAL (escapes patched) the moment its unfold ends,
+    # which needs the escape positions known before the unfold starts — the
+    # native packed-domain scan provides them during the drain (raw2d slices
+    # have no escapes at all). Without the native scan the sink still gets
+    # one coarse whole-(sub)plane region after the batched patch.
+    chase = sink is not None and (
         width is None or (_scan is not None and _fused is not None)
     )
 
@@ -579,43 +642,24 @@ def stream_dense_to_out(
             return counts
 
         if chase:
-            import hashlib
             import threading as _threading
 
             unfolded = [_threading.Event() for _ in range(n_slices)]
-            sink: dict = {}
             patch_info: dict = {}
 
             def chaser() -> None:
-                h = hashlib.sha256() if hash_out else None
-                writers = ThreadPoolExecutor(2) if fd is not None else None
                 pos = vals = None
                 for i in range(n_slices):
                     unfolded[i].wait()
                     if patch_fut is not None:
                         if pos is None:
                             pos, vals = patch_fut.result()
-                            patch_info["pos"], patch_info["vals"] = pos, vals
+                            patch_info["vals"] = vals
                         a, b = slice_cut[i], slice_cut[i + 1]
                         if b > a:
                             out[pos[a:b]] = vals[a:b]
-                    clo = bounds[i] * cells_per_row
-                    chi = bounds[i + 1] * cells_per_row
-                    if writers is not None:
-                        writers.submit(_pwrite_all, fd, out[clo:chi], clo)
-                        writers.submit(
-                            _pwrite_all, fd, out[full - chi : full - clo],
-                            full - chi,
-                        )
-                    if h is not None:
-                        h.update(out[clo:chi])
-                if h is not None:
-                    # second half: mirrors complete in reverse slice order —
-                    # all present once the loop above finishes
-                    h.update(out[full // 2 :])
-                    sink["hex"] = h.hexdigest()
-                if writers is not None:
-                    writers.shutdown(wait=True)
+                    sink.region_done(base + bounds[i] * cells_per_row,
+                                     base + bounds[i + 1] * cells_per_row)
 
             chase_thread = _threading.Thread(target=chaser, daemon=True)
             chase_thread.start()
@@ -656,14 +700,14 @@ def stream_dense_to_out(
             out[pos] = vals
             totals[escape] -= esc_idx2.shape[0]
             totals += np.bincount(vals, minlength=256)
+        if sink is not None and not chase:
+            # no native scan: the whole (sub-)plane becomes one coarse
+            # region once the batched patch lands
+            sink.region_done(base, base + size)
         phase_s["patch"] = _t.monotonic() - t0
         phase_s["pick"] = _t_pick
         phase_s["pack"] = _t_pack
 
-    if not chase and (fd is not None or hash_out):
-        sha_hex = _write_and_hash(fd, out) if hash_out else None
-        if not hash_out and fd is not None:
-            _pwrite_all(fd, out, 0)
     if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
         import sys
 
@@ -673,9 +717,7 @@ def stream_dense_to_out(
             ),
             file=sys.stderr,
         )
-    if hash_out:
-        return totals, (sink["hex"] if chase else sha_hex)
-    return totals
+    return _done(totals)
 
 
 def stream_dense_planes_to_out(
@@ -686,7 +728,9 @@ def stream_dense_planes_to_out(
     escapes=None,
     slice_bytes: int = SLICE_BYTES,
     threads: int = FETCH_THREADS,
-) -> np.ndarray:
+    fd: Optional[int] = None,
+    hash_out: bool = False,
+):
     """:func:`stream_dense_to_out` over a folded plane carried as a tuple of
     contiguous sub-planes (count spaces beyond int32 sweep indexing, K >= 17
     — see ops.pallas_hist.MAX_SWEEP_CELLS / index.indexer._accumulate_device).
@@ -698,11 +742,19 @@ def stream_dense_planes_to_out(
     tuple would pin every sub-plane's HBM for the whole loop). ``escapes`` is
     an optional per-plane list of pre-dispatched ``count_all_escapes`` results.
 
+    With ``fd``/``hash_out``, a single :class:`_ChaseSink` spans all
+    sub-planes: the `.kin` write and the output sha256 chase the unfolds
+    across plane boundaries (plane q's finished regions stream to disk and
+    into the hash frontier while plane q+1's slices are still in flight),
+    and the return becomes ``(counts, sha256-hex)`` when ``hash_out``.
+
     Returns the exact 256-bin counts of the whole folded plane (int64[256])."""
     if not isinstance(planes, list):
         planes = list(planes)
     total = sum(int(np.prod(p.shape)) for p in planes)
     assert out.shape[0] == 2 * total and out.dtype == np.uint8
+    sink = (_ChaseSink(out, fd, hash_out)
+            if (fd is not None or hash_out) else None)
     totals = np.zeros(256, dtype=np.int64)
     base = 0
     for q in range(len(planes)):
@@ -712,10 +764,13 @@ def stream_dense_planes_to_out(
             p, kmer_len, out, mode=mode,
             slice_bytes=slice_bytes, threads=threads,
             escapes=None if escapes is None else escapes[q],
-            base=base,
+            base=base, sink=sink,
         )
         del p  # free the sub-plane's HBM before packing the next one
         base += size
+    if sink is not None:
+        hex_ = sink.finish()
+        return (totals, hex_) if hash_out else totals
     return totals
 
 

@@ -27,15 +27,32 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, reps=5):
-    """Best-of-reps wall time of jitted fn(*args) with a warmup call."""
-    out = jax.block_until_ready(fn(*args))
+def sync(x):
+    """Force full device completion: fetch one scalar (block_until_ready on
+    this environment's tunneled backend does not reliably wait for
+    non-donating programs, and each sync costs a ~0.1-1 s RPC round trip —
+    every measurement below amortizes MANY chained iterations over ONE
+    sync and subtracts the measured sync cost)."""
+    return float(jnp.sum(x[..., :1].astype(jnp.float32)))
+
+
+def timed_chain(fn, x0, iters=8, trials=3):
+    """Best-of-trials per-iteration time of out = fn(out) chained ``iters``
+    times behind one scalar-fetch sync; fn must preserve shape/dtype."""
+    out = fn(x0)
+    sync(out)  # warmup: compile + first executable load
+    # measure the bare sync round trip to subtract it
+    t0 = time.perf_counter()
+    sync(out)
+    t_sync = time.perf_counter() - t0
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(trials):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+        for _ in range(iters):
+            out = fn(out)  # rolling rebind: donating fns consume the input
+        sync(out)
+        best = min(best, (time.perf_counter() - t0 - t_sync) / iters)
+    return best
 
 
 def main() -> None:
@@ -67,23 +84,40 @@ def main() -> None:
             canonical_codes(unpack_base_2bit(b, span), kmer_len), kmer_len
         )
 
-    t_enc, codes = timed(encode, dev_b)
-    codes_i32 = jax.block_until_ready(codes.astype(jnp.int32))
+    @jax.jit
+    def encode_chain(c):
+        # carry a scalar so iterations serialize; the max keeps the whole
+        # encode live (XLA cannot DCE it), its own cost is negligible
+        codes = encode(dev_b).astype(jnp.int32)
+        return c + codes.max()
+
+    t_enc = timed_chain(encode_chain, jnp.zeros((1,), jnp.int32))
+    codes_i32 = encode(dev_b).astype(jnp.int32)
+    sync(codes_i32)
 
     # --- sort variants --------------------------------------------------
     sort_i32 = jax.jit(lambda c: jnp.sort(c))
-    t_sort, sorted_codes = timed(sort_i32, codes_i32)
+    t_sort = timed_chain(sort_i32, codes_i32)
+    sorted_codes = sort_i32(codes_i32)
+    sync(sorted_codes)
 
     @jax.jit
     def sort_f32_bitcast(c):
-        # non-negative int32 < 2^30 order-embeds into positive f32 bitcasts
-        # (exponent field < 0xFF: never NaN/inf), so a float sort returns
-        # the same permutation; measures whether the TPU sorts f32 faster
-        f = jax.lax.bitcast_convert_type(c, jnp.float32)
-        return jax.lax.bitcast_convert_type(jnp.sort(f), jnp.int32)
+        # bias by 2^30 so every bitcast is a NORMAL positive float (TPU
+        # flushes denormals, which breaks compares for codes < 2^23); the
+        # biased range [2^30, 2^30 + 2^29) stays well below the NaN band,
+        # and positive-float IEEE order == integer order
+        f = jax.lax.bitcast_convert_type(c + jnp.int32(1 << 30), jnp.float32)
+        return jax.lax.bitcast_convert_type(
+            jnp.sort(f), jnp.int32
+        ) - jnp.int32(1 << 30)
 
-    t_sortf, sorted_f = timed(sort_f32_bitcast, codes_i32)
-    assert np.array_equal(np.asarray(sorted_f), np.asarray(sorted_codes))
+    t_sortf = timed_chain(sort_f32_bitcast, codes_i32)
+    # compare ON DEVICE: a single 67 MB host fetch aborts the tunneled link
+    f32_ok = bool(jnp.array_equal(sort_f32_bitcast(codes_i32), sorted_codes))
+    print(f"f32-bitcast sort parity: {f32_ok}", file=sys.stderr)
+    if not f32_ok:
+        t_sortf = float("inf")
 
     seg_rows = 16
 
@@ -91,13 +125,13 @@ def main() -> None:
     def sort_segmented(c):
         # 16 independent segment sorts (what a multi-stream sweep would
         # consume); lower bound on what segmenting could buy
-        return jnp.sort(c.reshape(seg_rows, -1), axis=1)
+        return jnp.sort(c, axis=1)
 
     pad = (-codes_i32.shape[0]) % seg_rows
     codes_seg = jnp.concatenate(
         [codes_i32, jnp.full((pad,), np.int32(2**31 - 1), jnp.int32)]
     ) if pad else codes_i32
-    t_sortseg, _ = timed(sort_segmented, codes_seg)
+    t_sortseg = timed_chain(sort_segmented, codes_seg.reshape(seg_rows, -1))
 
     # --- sweep variants -------------------------------------------------
     results = {}
@@ -111,26 +145,28 @@ def main() -> None:
 
             swj = jax.jit(sweep, donate_argnums=(0,))
             try:
-                t, out = timed(swj, dense, sorted_codes)
+                # chained donation: each iteration's input is the previous
+                # output (production aliases the plane in place; re-calling
+                # with a consumed buffer would be invalid)
+                t = timed_chain(lambda d: swj(d, sorted_codes), dense)
             except Exception as exc:  # Mosaic may reject a variant
                 print(f"  sweep tr={tile_rows} int8={int8_mxu}: "
                       f"FAILED {type(exc).__name__}: {str(exc)[:120]}",
                       file=sys.stderr)
                 continue
             results[(tile_rows, int8_mxu)] = t
-            del out
 
-    # correctness spot-check of the int8 variant vs bf16
-    dense_a = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
-    dense_b = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
-    a = jax.block_until_ready(accumulate_sorted_pallas(dense_a, sorted_codes))
+    # correctness spot-check of the int8 variant vs bf16 (device-side
+    # compare — the planes are 0.5 GiB, never fetch them)
     int8_ok = None
     if any(k[1] for k in results):
-        b = jax.block_until_ready(
-            accumulate_sorted_pallas(dense_b, sorted_codes, int8_mxu=True)
-        )
+        dense_a = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
+        dense_b = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
+        a = accumulate_sorted_pallas(dense_a, sorted_codes)
+        b = accumulate_sorted_pallas(dense_b, sorted_codes, int8_mxu=True)
         int8_ok = bool(jnp.array_equal(a, b))
         print(f"int8 sweep parity vs bf16: {int8_ok}", file=sys.stderr)
+        del dense_a, dense_b, a, b
 
     # --- report ---------------------------------------------------------
     m = windows
@@ -138,7 +174,8 @@ def main() -> None:
     print(f"encode+fold                  {t_enc * 1e3:8.1f} ms"
           f"  ({m / t_enc / 1e6:7.1f} M win/s)")
     print(f"sort int32                   {t_sort * 1e3:8.1f} ms")
-    print(f"sort f32-bitcast             {t_sortf * 1e3:8.1f} ms")
+    print(f"sort f32-bitcast             {t_sortf * 1e3:8.1f} ms"
+          + ("" if f32_ok else "  (PARITY FAILED — excluded)"))
     print(f"sort 16-segment              {t_sortseg * 1e3:8.1f} ms")
     best_sort = min(t_sort, t_sortf)
     print()

@@ -416,3 +416,44 @@ def test_indexer_chase_readback_end_to_end(rng, tmp_path):
     meta = json.load(open(h2.metadata_file))
     # reference's key spelling ("cheksum") is part of the byte-exact schema
     assert meta["output_file_cheksum"] == hashlib.sha256(got).hexdigest()
+
+
+def test_stream_dense_planes_chase_write_hash(rng, tmp_path):
+    """One chase sink spanning multiple sub-planes (the K>=17 layout):
+    write + hash chase unfolds across plane boundaries and must match the
+    non-chase result byte-for-byte."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from pykmer_tpu.io.direct import DirectWriter
+    from pykmer_tpu.ops.readback import (
+        stream_dense_planes_to_out,
+        stream_dense_to_out,
+    )
+
+    kmer_len = 9
+    fold = 4**kmer_len // 2
+    vals = rng.poisson(1.5, size=fold).astype(np.uint8)
+    hot = rng.integers(0, fold, size=300)
+    vals[hot] = rng.integers(7, 255, size=300).astype(np.uint8)
+    dense = jnp.asarray(vals.reshape(-1, 128))
+
+    ref = np.zeros(2 * fold, dtype=np.uint8)
+    counts_ref = stream_dense_to_out(dense, kmer_len, ref, mode="3bit")
+
+    n_planes = 4
+    per_rows = (fold // 128) // n_planes
+    planes = [jnp.asarray(vals.reshape(-1, 128)[q * per_rows:(q + 1) * per_rows])
+              for q in range(n_planes)]
+    out = np.zeros(2 * fold, dtype=np.uint8)
+    path = str(tmp_path / "planes_chase.bin")
+    with DirectWriter(path, size=2 * fold) as fd:
+        counts, hex_ = stream_dense_planes_to_out(
+            planes, kmer_len, out, mode="3bit", slice_bytes=1 << 12,
+            fd=fd, hash_out=True,
+        )
+    assert np.array_equal(counts, counts_ref)
+    assert np.array_equal(out, ref)
+    assert open(path, "rb").read() == ref.tobytes()
+    assert hex_ == hashlib.sha256(ref).hexdigest()
