@@ -348,8 +348,19 @@ def _iter_pipelined_chunks(
     # a segment finished mid-dispatch — measured ~2-3 s of gen-wait per
     # 840 Mbp run as transport bursts starved the niced decode threads)
     import queue as _queue
+    import threading as _threading
 
     q: "_queue.Queue" = _queue.Queue(maxsize=2)
+    dead = _threading.Event()  # consumer gone: unblock + stop the producer
+
+    def _put(item) -> bool:
+        while not dead.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                pass
+        return False
 
     def producer() -> None:
         from ..utils import renice_current_thread
@@ -358,46 +369,46 @@ def _iter_pipelined_chunks(
         try:
             while True:
                 nxt = decode_next()
-                q.put(("ok", nxt))
-                if nxt is None:
+                if not _put(("ok", nxt)) or nxt is None:
                     return
         except BaseException as exc:  # re-raised on the dispatch thread
-            q.put(("err", exc))
-
-    import threading as _threading
+            _put(("err", exc))
 
     prod = _threading.Thread(target=producer, daemon=True)
     prod.start()
-    while True:
-        status, nxt = q.get()
-        if status == "err":
-            raise nxt
-        if nxt is None:
-            prod.join()
-            break
-        kind, res = nxt
-        if kind == "packed":
-            bases, mask, n_codes, chroms, bp = res
-            sink["chromosomes"].extend(chroms)
-            sink["total_bp"] += bp
-            if n_codes >= kmer_len:
-                yield from iter_chunks_prepacked(
-                    bases, mask, n_codes, kmer_len, config.chunk_windows
-                )
-            del bases, mask
-        else:
-            stream, chroms, bp = res
-            sink["chromosomes"].extend(chroms)
-            sink["total_bp"] += bp
-            if stream.shape[0] >= kmer_len:
-                padded, n_chunks = chunk_stream(
-                    stream, kmer_len, config.chunk_windows
-                )
-                yield from iter_chunks_packed_lazy(
-                    padded, kmer_len, config.chunk_windows, n_chunks
-                )
-                del padded
-            del stream
+    try:
+        while True:
+            status, nxt = q.get()
+            if status == "err":
+                raise nxt
+            if nxt is None:
+                prod.join()
+                break
+            kind, res = nxt
+            if kind == "packed":
+                bases, mask, n_codes, chroms, bp = res
+                sink["chromosomes"].extend(chroms)
+                sink["total_bp"] += bp
+                if n_codes >= kmer_len:
+                    yield from iter_chunks_prepacked(
+                        bases, mask, n_codes, kmer_len, config.chunk_windows
+                    )
+                del bases, mask
+            else:
+                stream, chroms, bp = res
+                sink["chromosomes"].extend(chroms)
+                sink["total_bp"] += bp
+                if stream.shape[0] >= kmer_len:
+                    padded, n_chunks = chunk_stream(
+                        stream, kmer_len, config.chunk_windows
+                    )
+                    yield from iter_chunks_packed_lazy(
+                        padded, kmer_len, config.chunk_windows, n_chunks
+                    )
+                    del padded
+                del stream
+    finally:
+        dead.set()  # abandoned mid-iteration: let the producer exit
 
 
 def create_fasta_index(
