@@ -172,12 +172,14 @@ def main() -> None:
     if not do_write:
         pass  # file write is part of the measured pipeline by default
 
-    base = BASELINES.get(kmer_len, BASELINE_BP_S)
+    # no silent fallback: a K the reference never published would otherwise
+    # be compared against the K=15 figure and report a misleading ratio
+    base = BASELINES.get(kmer_len)
     print(json.dumps({
         "metric": f"index_bp_per_s_k{kmer_len}_1chip{tag}",
         "value": round(bp_s),
         "unit": "bp/s",
-        "vs_baseline": round(bp_s / base, 2),
+        "vs_baseline": round(bp_s / base, 2) if base else None,
     }))
 
 

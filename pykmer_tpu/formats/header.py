@@ -149,6 +149,11 @@ class KinHeader:
         self.kmer_len = kmer_len
         self.flush_every = flush_every
 
+        # True when the input arrived as a stream (stdin): provenance must
+        # never stat input_file_path (it is derived from the SAMPLE name and
+        # an unrelated CWD entry could share it)
+        self.stream_input: bool = False
+
         self.input_file_size: Optional[int] = None
         self.input_file_ctime: Optional[float] = None
         self.input_file_cheksum: Optional[str] = None
@@ -270,18 +275,22 @@ class KinHeader:
         Checksums may be passed in precomputed (e.g. hashed from the
         in-memory array / in a background thread overlapping the device
         fetch) — values are identical to hashing the files."""
-        if self.input_file_path and os.path.exists(self.input_file_path):
+        if getattr(self, "stream_input", False):
+            # stdin input: there IS no input file — never stat (a CWD file
+            # that happens to share the sample name would otherwise be
+            # recorded as provenance); the checksum (of the stream bytes)
+            # must have been computed by the caller
+            self.input_file_size = None
+            self.input_file_ctime = None
+            self.input_file_cheksum = input_checksum
+        else:
+            # a real input path: stat it — a missing file here is an error
+            # (e.g. deleted mid-run), not a silent null-provenance record
             self.input_file_size = os.path.getsize(self.input_file_path)
             self.input_file_ctime = os.path.getctime(self.input_file_path)
             self.input_file_cheksum = input_checksum or sha256_file(
                 self.input_file_path
             )
-        else:
-            # stdin input: no file to stat; the checksum (of the stream
-            # bytes) must have been computed by the caller
-            self.input_file_size = None
-            self.input_file_ctime = None
-            self.input_file_cheksum = input_checksum
 
         self.output_file_size = os.path.getsize(index_file)
         self.output_file_ctime = os.path.getctime(index_file)

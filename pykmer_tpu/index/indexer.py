@@ -445,6 +445,7 @@ def create_fasta_index(
         min_frag_size=config.min_frag_size,
         max_frag_size=config.max_frag_size,
     )
+    header.stream_input = from_stdin
     data_size = header.data_size
     if verbose:
         print(

@@ -157,7 +157,22 @@ def create_fasta_index_multihost(
     if n_windows <= 0:
         raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
     w0, w1 = host_slice(n_windows, pid, nproc)
-    local_stream = stream[w0 : w1 + kmer_len - 1] if w1 > w0 else None
+    if w1 > w0:
+        if nproc > 1:
+            # copy the slice into a pooled block and release the full
+            # stream: a bare view would pin the whole ~genome-size decode
+            # on EVERY host through the accumulate (and chunk_stream's
+            # in-place framing needs a big_empty-backed base anyway —
+            # an offset view would force an unpooled concatenate copy)
+            from ..utils.bigmem import big_empty
+
+            span = (w1 - w0) + kmer_len - 1
+            local_stream = big_empty(span)
+            np.copyto(local_stream, stream[w0 : w0 + span])
+        else:
+            local_stream = stream[w0 : w1 + kmer_len - 1]
+    else:
+        local_stream = None
     del stream
 
     # input checksum on process 0, overlapping the accumulate
@@ -231,7 +246,7 @@ def create_fasta_index_multihost(
             timer.update(total_bp)
         from ..formats.header import fast_counts256
         from ..io.direct import DirectWriter
-        from ..ops.readback import _pwrite_all, unfold_canonical
+        from ..ops.readback import _write_and_hash, unfold_canonical
         from ..utils.bigmem import big_empty
 
         counts = fast_counts256(combined).copy()
@@ -239,13 +254,8 @@ def create_fasta_index_multihost(
         out = big_empty(data_size)
         unfold_canonical(combined, kmer_len, out=out)
         del combined
-        import hashlib
-
         with DirectWriter(tmp, size=data_size) as fd:
-            wt = threading.Thread(target=_pwrite_all, args=(fd, out, 0))
-            wt.start()
-            output_ck = hashlib.sha256(out).hexdigest()
-            wt.join()
+            output_ck = _write_and_hash(fd, out)
         del out
         header.num_kmers = num_kmers
         header.chromosomes = chromosomes

@@ -75,6 +75,11 @@ class DirectWriter:
         if size:
             os.ftruncate(self.fd, size)
         self.dfd: Optional[int] = None
+        # retired direct fd after an O_DIRECT failure: NOT closed until
+        # close() — closing mid-run would let the kernel recycle the fd
+        # number under a concurrent pwrite on another thread (the chase
+        # sink runs a 2-thread writer pool on one DirectWriter)
+        self._retired_dfd: Optional[int] = None
         if O_DIRECT and not os.environ.get("PYKMER_TPU_NO_DIRECT"):
             try:
                 self.dfd = os.open(path, os.O_WRONLY | O_DIRECT)
@@ -83,23 +88,26 @@ class DirectWriter:
 
     def pwrite(self, arr: np.ndarray, offset: int) -> None:
         arr = np.ascontiguousarray(arr).view(np.uint8).reshape(-1)
-        head = _split_aligned(arr, offset) if self.dfd is not None else 0
+        dfd = self.dfd  # snapshot: another thread may retire it mid-call
+        head = _split_aligned(arr, offset) if dfd is not None else 0
         if head:
             try:
-                _pwrite_loop(self.dfd, memoryview(arr[:head]), offset)
+                _pwrite_loop(dfd, memoryview(arr[:head]), offset)
             except OSError:
                 # device rejected direct I/O (e.g. unusual block size):
                 # disable the fast path and redo buffered
-                os.close(self.dfd)
+                self._retired_dfd = dfd
                 self.dfd = None
                 head = 0
         if arr.nbytes - head:
             _pwrite_loop(self.fd, memoryview(arr[head:]), offset + head)
 
     def close(self) -> None:
-        if self.dfd is not None:
-            os.close(self.dfd)
-            self.dfd = None
+        for attr in ("dfd", "_retired_dfd"):
+            v = getattr(self, attr)
+            if v is not None:
+                os.close(v)
+                setattr(self, attr, None)
         if self.fd is not None:
             os.close(self.fd)
             self.fd = None

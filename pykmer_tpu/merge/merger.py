@@ -279,7 +279,10 @@ def _pairwise_matrix_device(
                     return np.packbits(valid)
 
                 bits = np.stack(list(pool.map(read_one, range(n))))
-                acc = step(acc, jnp.asarray(bits))
+                # pass the HOST array: the sharded step device_puts it with
+                # the shard sharding itself — a jnp.asarray here would first
+                # commit the whole block to device 0 and double the upload
+                acc = step(acc, bits)
                 done += want
                 if verbose:
                     print(

@@ -389,17 +389,20 @@ class _ChaseSink:
         self.full = out.shape[0]
         self.h = hashlib.sha256() if hash_out else None
         self.writers = ThreadPoolExecutor(2) if fd is not None else None
+        self._futs: list = []
         self.expected = 0
 
     def region_done(self, lo: int, hi: int) -> None:
         if hi <= lo:
             return
         if self.writers is not None:
-            self.writers.submit(_pwrite_all, self.fd, self.out[lo:hi], lo)
-            self.writers.submit(
+            self._futs.append(
+                self.writers.submit(_pwrite_all, self.fd, self.out[lo:hi], lo)
+            )
+            self._futs.append(self.writers.submit(
                 _pwrite_all, self.fd,
                 self.out[self.full - hi : self.full - lo], self.full - hi,
-            )
+            ))
         if self.h is not None:
             assert lo == self.expected, (lo, self.expected)
             self.h.update(self.out[lo:hi])
@@ -414,6 +417,8 @@ class _ChaseSink:
             hex_ = self.h.hexdigest()
         if self.writers is not None:
             self.writers.shutdown(wait=True)
+            for f in self._futs:
+                f.result()  # surface any pwrite failure (ENOSPC, EIO, ...)
         return hex_
 
 

@@ -457,3 +457,39 @@ def test_stream_dense_planes_chase_write_hash(rng, tmp_path):
     assert np.array_equal(out, ref)
     assert open(path, "rb").read() == ref.tobytes()
     assert hex_ == hashlib.sha256(ref).hexdigest()
+
+
+def test_stream_dense_chase_coarse_without_native_scan(rng, tmp_path, monkeypatch):
+    """Without the native packed-domain escape scan, a sink-carrying call
+    degrades to one coarse whole-plane region after the batched patch —
+    same bytes, counts, and hash as the fine-grained chase."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from pykmer_tpu.io import native as _native
+    from pykmer_tpu.io.direct import DirectWriter
+    from pykmer_tpu.ops.readback import stream_dense_to_out
+
+    kmer_len = 9
+    fold = 4**kmer_len // 2
+    vals = rng.poisson(1.2, size=fold).astype(np.uint8)
+    hot = rng.integers(0, fold, size=150)
+    vals[hot] = rng.integers(7, 200, size=150).astype(np.uint8)
+    dense = jnp.asarray(vals.reshape(-1, 128))
+
+    ref = np.zeros(2 * fold, dtype=np.uint8)
+    counts_ref = stream_dense_to_out(dense, kmer_len, ref, mode="3bit")
+
+    monkeypatch.setattr(_native, "_HAVE_SCAN_ESCAPES", False)
+    out = np.zeros(2 * fold, dtype=np.uint8)
+    path = str(tmp_path / "coarse.bin")
+    with DirectWriter(path, size=2 * fold) as fd:
+        counts, hex_ = stream_dense_to_out(
+            dense, kmer_len, out, mode="3bit", slice_bytes=1 << 12,
+            fd=fd, hash_out=True,
+        )
+    assert np.array_equal(counts, counts_ref)
+    assert np.array_equal(out, ref)
+    assert open(path, "rb").read() == ref.tobytes()
+    assert hex_ == hashlib.sha256(ref).hexdigest()
