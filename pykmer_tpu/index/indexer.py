@@ -142,7 +142,7 @@ def _segment_targets(target: int):
     dispatch happens ~0.1 s in (a full-size first segment serialises its
     whole decode ahead of any upload — measured ~1 s of dead pipeline time),
     then full-size segments for steady-state decode efficiency."""
-    for t in (target // 8, target // 4, target // 2):
+    for t in (target // 16, target // 8, target // 4, target // 2):
         if t >= (1 << 20):
             yield t
     while True:

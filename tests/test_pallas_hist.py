@@ -493,3 +493,59 @@ def test_stream_dense_chase_coarse_without_native_scan(rng, tmp_path, monkeypatc
     assert np.array_equal(out, ref)
     assert open(path, "rb").read() == ref.tobytes()
     assert hex_ == hashlib.sha256(ref).hexdigest()
+
+
+def test_chase_sink_surfaces_write_errors(tmp_path):
+    """A failed region pwrite (e.g. ENOSPC) must raise at finish(), not be
+    silently dropped with the run reporting success."""
+    import pytest
+
+    from pykmer_tpu.ops import readback as rb
+
+    out = np.zeros(4096, dtype=np.uint8)
+
+    class BoomFd:
+        def pwrite(self, arr, offset):
+            raise OSError(28, "No space left on device")
+
+    sink = rb._ChaseSink(out, BoomFd(), hash_out=False)
+    sink.region_done(0, 1024)
+    with pytest.raises(OSError, match="No space left"):
+        sink.finish()
+
+
+def test_direct_writer_fallback_keeps_fd_open(tmp_path, monkeypatch):
+    """O_DIRECT rejection mid-run retires the direct fd WITHOUT closing it
+    (concurrent writer threads may still hold the fd number); the write
+    still lands via the buffered fd and close() releases both."""
+    from pykmer_tpu.io import direct as d
+
+    path = str(tmp_path / "fb.bin")
+    w = d.DirectWriter(path, size=8192)
+    if w.dfd is None:
+        w.close()
+        import pytest
+
+        pytest.skip("no O_DIRECT on this filesystem")
+    dfd = w.dfd
+    real_loop = d._pwrite_loop
+
+    def failing_loop(fd, view, pos):
+        if fd == dfd:
+            raise OSError(22, "Invalid argument")
+        return real_loop(fd, view, pos)
+
+    monkeypatch.setattr(d, "_pwrite_loop", failing_loop)
+    # 512-aligned buffer so the O_DIRECT head path actually engages
+    raw = np.zeros(8192 + 512, dtype=np.uint8)
+    a0 = (-raw.ctypes.data) % 512
+    data = raw[a0 : a0 + 8192]
+    data[:] = np.arange(8192, dtype=np.uint64).astype(np.uint8) % 251
+    w.pwrite(data, 0)
+    assert w.dfd is None and w._retired_dfd == dfd
+    import os as _os
+
+    _os.fstat(dfd)  # still open — not recycled
+    monkeypatch.setattr(d, "_pwrite_loop", real_loop)
+    w.close()
+    assert open(path, "rb").read() == data.tobytes()
