@@ -536,9 +536,9 @@ def test_direct_writer_fallback_keeps_fd_open(tmp_path, monkeypatch):
         return real_loop(fd, view, pos)
 
     monkeypatch.setattr(d, "_pwrite_loop", failing_loop)
-    # 512-aligned buffer so the O_DIRECT head path actually engages
-    raw = np.zeros(8192 + 512, dtype=np.uint8)
-    a0 = (-raw.ctypes.data) % 512
+    # ALIGN-aligned buffer so the O_DIRECT head path actually engages
+    raw = np.zeros(8192 + d.ALIGN, dtype=np.uint8)
+    a0 = (-raw.ctypes.data) % d.ALIGN
     data = raw[a0 : a0 + 8192]
     data[:] = np.arange(8192, dtype=np.uint64).astype(np.uint8) % 251
     w.pwrite(data, 0)
