@@ -8,9 +8,9 @@ the real tomato FASTA cannot be downloaded).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_K (15), BENCH_BP (840M), BENCH_VERIFY (0), BENCH_WRITE (1),
+Env knobs: BENCH_K (15), BENCH_BP (840M), BENCH_VERIFY (0),
 BENCH_GENOME (uniform|repeat — repeat adds power-law repeat families so the
-saturation + escape-dense readback paths run at scale), BENCH_REPEATS (3).
+saturation + escape-dense readback paths run at scale), BENCH_REPEATS (4).
 """
 
 import json
@@ -86,7 +86,6 @@ def main() -> None:
     # 4^K dense-plane fetch) amortise over it the same way
     total_bp = int(os.environ.get("BENCH_BP", str(840_000_000)))
     verify = os.environ.get("BENCH_VERIFY", "0") == "1"
-    do_write = os.environ.get("BENCH_WRITE", "1") == "1"
 
     genome = os.environ.get("BENCH_GENOME", "uniform")
     if genome not in ("uniform", "repeat"):
@@ -172,9 +171,6 @@ def main() -> None:
         if best is None or bp_s > best:
             best = bp_s
     bp_s = best
-    if not do_write:
-        pass  # file write is part of the measured pipeline by default
-
     # no silent fallback: a K the reference never published would otherwise
     # be compared against the K=15 figure and report a misleading ratio
     base = BASELINES.get(kmer_len)

@@ -275,7 +275,7 @@ class KinHeader:
         Checksums may be passed in precomputed (e.g. hashed from the
         in-memory array / in a background thread overlapping the device
         fetch) — values are identical to hashing the files."""
-        if getattr(self, "stream_input", False):
+        if self.stream_input:
             # stdin input: there IS no input file — never stat (a CWD file
             # that happens to share the sample name would otherwise be
             # recorded as provenance); the checksum (of the stream bytes)
