@@ -119,6 +119,23 @@ def main() -> None:
     if not f32_ok:
         t_sortf = float("inf")
 
+    @jax.jit
+    def sort_key16(c):
+        # the sweep only needs TILE-granular grouping (>= 2^13-cell groups
+        # at any tile_rows >= 64), so sort by the top 16 bits as a uint16
+        # KEY carrying the low 13 bits as a uint16 payload — half-width
+        # compares; the reconstructed stream is grouped, not fully sorted
+        k = (c >> jnp.int32(13)).astype(jnp.uint16)
+        v = (c & jnp.int32(0x1FFF)).astype(jnp.uint16)
+        ks, vs = jax.lax.sort((k, v), num_keys=1)
+        return (ks.astype(jnp.int32) << 13) | vs.astype(jnp.int32)
+
+    t_sortk16 = timed_chain(sort_key16, codes_i32)
+    k16_ok = bool(
+        jnp.array_equal(jnp.sort(sort_key16(codes_i32)), sorted_codes)
+    )
+    print(f"key16 sort parity (re-sorted): {k16_ok}", file=sys.stderr)
+
     seg_rows = 16
 
     @jax.jit
@@ -176,6 +193,9 @@ def main() -> None:
     print(f"sort int32                   {t_sort * 1e3:8.1f} ms")
     print(f"sort f32-bitcast             {t_sortf * 1e3:8.1f} ms"
           + ("" if f32_ok else "  (PARITY FAILED — excluded)"))
+    print(f"sort key16+payload16         {t_sortk16 * 1e3:8.1f} ms"
+          + ("  (tile-granular grouping)" if k16_ok
+             else "  (PARITY FAILED)"))
     print(f"sort 16-segment              {t_sortseg * 1e3:8.1f} ms")
     best_sort = min(t_sort, t_sortf)
     print()
