@@ -768,38 +768,56 @@ def _use_pallas_kernel(config: IndexConfig, fold_size: int, kmer_len: int) -> bo
     )
 
 
-def _int8_sweep() -> bool:
-    """Opt-in int8 one-hots for the Pallas sweep (PYKMER_TPU_INT8_SWEEP=1).
+def _sweep_variant(config: IndexConfig, fold_size: int, kmer_len: int,
+                   n_planes: int) -> str:
+    """Resolve the apply-program engine: 'xla' | 'fixed-bf16' | 'fixed-int8'
+    | 'span'.
 
-    Standalone, the int8 variant is ~15% faster than bf16 (26.7 vs 31.5 ms
-    per 16.7M-code sweep at K=15, scripts/bench_device_step.py — v5e's MXU
-    runs int8 at 2x the bf16 MAC rate) and bit-identical (int32 accumulator;
-    parity proven on hardware and in interpret tests). FUSED into the full
-    step program (unpack+encode+sort+sweep in one XLA program), however, the
-    int8 program never completed on this environment's axon backend (bf16
-    control finishes, int8 exceeds 7x its time) — so bf16 stays the default
-    until the fused-int8 path is validated on a directly-attached TPU."""
-    return os.environ.get("PYKMER_TPU_INT8_SWEEP", "0") == "1"
+    'fixed-int8' is the TPU default: int8 one-hots run at 2x bf16 MAC rate
+    on v5e (26.4 vs 29.6 ms per 16.7M-code sweep, scripts/bench_device_step),
+    bit-identical (int32 accumulator), and the r2 fused-program hang no
+    longer applies — the sweep now compiles as its own minimal program (see
+    _make_sweep_apply), which was the failing configuration's fix. 'span'
+    (the span-adaptive kernel) is opt-in: it fails parity on the real
+    backend as of r3 (interpret mode is clean — Mosaic dynamic-sublane
+    accumulate suspected) and its while-loop scalar overhead cancels the MXU
+    savings. Env override PYKMER_TPU_SWEEP=xla|bf16|int8|span; the resolved
+    value is passed as an explicit argument into the lru-cached program
+    makers so it participates in the compile-cache key (ADVICE r2)."""
+    env = os.environ.get("PYKMER_TPU_SWEEP", "").strip().lower()
+    if env in ("xla", "bf16", "int8", "span"):
+        return {"xla": "xla", "bf16": "fixed-bf16",
+                "int8": "fixed-int8", "span": "span"}[env]
+    if n_planes > 1:
+        # the sub-plane path (K >= 17) is always a Pallas sweep
+        # (interpret-mode on CPU backends keeps it testable at tiny K)
+        return "fixed-int8"
+    if not _use_pallas_kernel(config, fold_size, kmer_len):
+        return "xla"
+    return "fixed-int8"
 
 
 @functools.lru_cache(maxsize=None)
-def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
-                      masked: bool = True, n_planes: int = 1):
-    """Module-level cache of the jitted per-chunk step.
+def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
+    """Program A of the split per-chunk step: unpack -> encode -> fold ->
+    sort (+ the k-mer counter update, carried donated on device).
 
-    One compiled executable per (K, chunk span, kernel, masked) — ever. A
-    fresh ``jax.jit`` closure per indexing run would recompile: after the
-    first donated call the dense array carries the Pallas output's device
-    layout, which a new closure bakes into a *different* HLO/cache key, and
-    XLA compiles through this environment's tunnel run to ~80 s regardless of
-    program size. Reusing the function object skips all of that (the runtime
-    accepts the relaid-out donated input without recompiling).
+    Module-level cache: one compiled executable per (K, span, masked) — a
+    fresh ``jax.jit`` closure per run would recompile (~80 s through this
+    environment's tunnel) because donated buffers' layouts bake into a new
+    closure's cache key.
+
+    The step is split in two programs (sort | sweep) deliberately: the
+    Pallas sweep fused into one big XLA program wedged this environment's
+    backend for the int8 kernel (r2), and the split costs nothing — the
+    dispatch queue pipelines A and B back to back, and A's output buffer is
+    donated straight into B.
 
     ``masked=False`` is the all-valid variant: chunks with no Ns, record
-    separators, or padding skip the validity-bitmap upload (1 bit/base) and
-    dispatch here."""
+    separators, or padding skip the validity-bitmap upload (1 bit/base)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ..ops.encode import (
         canonical_codes,
@@ -807,52 +825,18 @@ def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
         unpack_base_2bit,
         unpack_base_2bit_mask,
     )
-    from ..ops.histogram import saturating_accumulate
 
     fold_size = 4**kmer_len // 2
+    sort_dt = jnp.int32 if fold_size <= np.iinfo(np.int32).max else jnp.int64
 
-    def tail(dense, nk, codes):
-        if n_planes > 1:
-            # folded space beyond int32 sweep indexing (K >= 17): dense is a
-            # TUPLE of contiguous sub-planes; one int64 sort, then each
-            # sub-plane sweeps an int32 localisation of the stream
-            # (ops.pallas_hist.localize_sorted). interpret mode keeps the
-            # path testable on the CPU backend at tiny K.
-            import jax as _jax
-
-            from ..ops.pallas_hist import accumulate_sorted_planes
-
-            sorted_codes = jnp.sort(codes)
-            nvalid = (codes < fold_size).sum(dtype=jnp.int64)
-            dense = accumulate_sorted_planes(
-                dense, sorted_codes,
-                interpret=_jax.default_backend() != "tpu",
-                int8_mxu=_int8_sweep(),
-            )
-        elif use_pallas:
-            from ..ops.pallas_hist import accumulate_sorted_pallas
-
-            sorted_codes = jnp.sort(codes.astype(jnp.int32))
-            nvalid = (codes < fold_size).sum(dtype=jnp.int64)
-            dense = accumulate_sorted_pallas(dense, sorted_codes,
-                                             int8_mxu=_int8_sweep())
-        else:
-            flat = dense.reshape(-1)
-            flat, nvalid = saturating_accumulate(flat, codes, sentinel=fold_size)
-            dense = flat.reshape(dense.shape)
-        if n_planes > 1:
-            # third output = NON-donated readiness signal: the dispatch loop
-            # blocks on the one from a few steps back to bound how many
-            # in-flight step arenas (sort + localisation temps, ~0.5 GiB
-            # each at K=17) can stack on top of the 8 GiB plane tuple.
-            # (nk itself is donated chunk-to-chunk, so waiting on an older
-            # nk would touch a deleted buffer.)
-            return dense, nk + nvalid, nvalid
-        return dense, nk + nvalid
+    def tail(nk, codes):
+        sorted_codes = jnp.sort(codes.astype(sort_dt))
+        nvalid = (codes < fold_size).sum(dtype=jnp.int64)
+        return sorted_codes, nk + nvalid
 
     if masked:
 
-        def step(dense, nk, bases2, maskbits):
+        def step(nk, bases2, maskbits):
             # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base
             # of upload); the unpack fuses into the encode
             codes = fold_codes(
@@ -861,17 +845,77 @@ def _make_device_step(kmer_len: int, span: int, use_pallas: bool,
                 ),
                 kmer_len,
             )
-            return tail(dense, nk, codes)
+            return tail(nk, codes)
 
     else:
 
-        def step(dense, nk, bases2):
+        def step(nk, bases2):
             # all-valid chunk: 0.25 B/base of upload, no mask
             codes = fold_codes(
                 canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
                 kmer_len,
             )
-            return tail(dense, nk, codes)
+            return tail(nk, codes)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sweep_apply(kmer_len: int, variant: str, n_planes: int = 1):
+    """Program B of the split step: saturating-apply one sorted batch to the
+    dense folded plane (or sub-plane tuple). Both the plane and the sorted
+    codes buffer are donated — the plane updates in place, the codes arena
+    recycles chunk to chunk."""
+    import jax
+    import jax.numpy as jnp
+
+    fold_size = 4**kmer_len // 2
+    interpret = jax.default_backend() != "tpu"
+
+    if n_planes > 1:
+        from ..ops.pallas_hist import accumulate_sorted_planes
+
+        pl_variant = "span" if variant == "span" else "fixed"
+
+        def step(dense, sorted_codes):
+            # folded space beyond int32 sweep indexing (K >= 17): dense is a
+            # TUPLE of contiguous sub-planes; each sub-plane sweeps an int32
+            # localisation of the stream (ops.pallas_hist.localize_sorted).
+            # Second output = NON-donated readiness signal: the dispatch
+            # loop blocks on the one from a few steps back to bound how many
+            # in-flight step arenas (sort + localisation temps, ~0.5 GiB
+            # each at K=17) can stack on top of the 8 GiB plane tuple.
+            out = accumulate_sorted_planes(
+                dense, sorted_codes, interpret=interpret,
+                int8_mxu=(variant == "fixed-int8"), variant=pl_variant,
+            )
+            return out, (sorted_codes[:1]).astype(jnp.int32)
+
+    elif variant == "span":
+        from ..ops.pallas_hist import accumulate_sorted_span
+
+        def step(dense, sorted_codes):
+            return accumulate_sorted_span(dense, sorted_codes,
+                                          interpret=interpret)
+
+    elif variant in ("fixed-bf16", "fixed-int8"):
+        from ..ops.pallas_hist import accumulate_sorted_pallas
+
+        def step(dense, sorted_codes):
+            return accumulate_sorted_pallas(
+                dense, sorted_codes, interpret=interpret,
+                int8_mxu=(variant == "fixed-int8"),
+            )
+
+    else:  # 'xla' — scatter path (CPU/GPU backends, or K < 9 shapes)
+        from ..ops.histogram import saturating_accumulate_sorted
+
+        def step(dense, sorted_codes):
+            flat = dense.reshape(-1)
+            flat, _ = saturating_accumulate_sorted(
+                flat, sorted_codes, sentinel=fold_size
+            )
+            return flat.reshape(dense.shape)
 
     return jax.jit(step, donate_argnums=(0, 1))
 
@@ -892,11 +936,11 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
     config = resolve_chunk_windows(config or IndexConfig(kmer_len=kmer_len))
     fold_size = 4**kmer_len // 2
     n_planes = _n_planes(fold_size)
-    use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
+    variant = _sweep_variant(config, fold_size, kmer_len, n_planes)
     span = config.chunk_windows + kmer_len - 1
-    step = _make_device_step(kmer_len, span, use_pallas, n_planes=n_planes)
-    step_av = _make_device_step(kmer_len, span, use_pallas, masked=False,
-                                n_planes=n_planes)
+    step_a = _make_chunk_sorted_codes(kmer_len, span)
+    step_a_av = _make_chunk_sorted_codes(kmer_len, span, masked=False)
+    step_b = _make_sweep_apply(kmer_len, variant, n_planes=n_planes)
     if n_planes > 1:
         per = fold_size // n_planes
         dense = tuple(
@@ -910,10 +954,13 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
     nk = jnp.zeros((), dtype=jnp.int64)
     bases = jnp.zeros(((span + 3) // 4,), dtype=jnp.uint8)
     mask = jnp.zeros(((span + 7) // 8,), dtype=jnp.uint8)
-    res = step(dense, nk, bases, mask)
-    res = step_av(res[0], res[1], bases)
+    codes, nk = step_a(nk, bases, mask)
+    res = step_b(dense, codes)
+    dense = res[0] if n_planes > 1 else res
+    codes, nk = step_a_av(nk, bases)
+    res = step_b(dense, codes)
     jax.block_until_ready(res)
-    del dense, nk, res
+    del dense, nk, codes, res
 
 
 def _accumulate_device(
@@ -935,7 +982,7 @@ def _accumulate_device(
     # and returned as that tuple for readback.stream_dense_planes_to_out.
     fold_size = data_size // 2
     n_planes = _n_planes(fold_size)
-    use_pallas = _use_pallas_kernel(config, fold_size, kmer_len)
+    variant = _sweep_variant(config, fold_size, kmer_len, n_planes)
     # the dense array lives 2D [D/128, 128] on device: giant 1D programs
     # (2^30 elements) trigger pathological XLA TPU compile times
     two_d = fold_size % 128 == 0
@@ -944,10 +991,9 @@ def _accumulate_device(
     # fully asynchronous dispatch: the k-mer counter is carried on-device and
     # fetched once at the end — any mid-stream sync stalls the pipeline
     # (and costs seconds over tunneled hosts)
-    step_jit = _make_device_step(kmer_len, span, use_pallas,
-                                 n_planes=n_planes)
-    step_av_jit = _make_device_step(kmer_len, span, use_pallas, masked=False,
-                                    n_planes=n_planes)
+    step_a_jit = _make_chunk_sorted_codes(kmer_len, span)
+    step_a_av_jit = _make_chunk_sorted_codes(kmer_len, span, masked=False)
+    step_b_jit = _make_sweep_apply(kmer_len, variant, n_planes=n_planes)
 
     from ..utils.profiling import StageTimer
 
@@ -970,7 +1016,7 @@ def _accumulate_device(
         import collections
         import time as _t
 
-        # n_planes > 1: rolling in-flight bound (see _make_device_step tail)
+        # n_planes > 1: rolling in-flight bound (see _make_sweep_apply)
         sigs: collections.deque = collections.deque()
         max_inflight = 4
 
@@ -988,18 +1034,17 @@ def _accumulate_device(
             dev_m = None if maskbits is None else jnp.asarray(maskbits)
             t_h2d += _t.monotonic() - _t0
             _t0 = _t.monotonic()
+            if dev_m is None:
+                codes, nk = step_a_av_jit(nk, dev_b)
+            else:
+                codes, nk = step_a_jit(nk, dev_b, dev_m)
             if n_planes > 1:
-                if dev_m is None:
-                    dense, nk, sig = step_av_jit(dense, nk, dev_b)
-                else:
-                    dense, nk, sig = step_jit(dense, nk, dev_b, dev_m)
+                dense, sig = step_b_jit(dense, codes)
                 sigs.append(sig)
                 if len(sigs) > max_inflight:
                     sigs.popleft().block_until_ready()
-            elif dev_m is None:
-                dense, nk = step_av_jit(dense, nk, dev_b)
             else:
-                dense, nk = step_jit(dense, nk, dev_b, dev_m)
+                dense = step_b_jit(dense, codes)
             t_disp += _t.monotonic() - _t0
             done_windows += config.chunk_windows
             if verbose and done_windows > config.chunk_windows:
@@ -1080,7 +1125,7 @@ def _accumulate_host(
 
 @functools.lru_cache(maxsize=None)
 def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
-    """Jitted encode+sort for the host strategy — cached like _make_device_step."""
+    """Jitted encode+sort for the host strategy — cached like _make_chunk_sorted_codes."""
     import jax
     import jax.numpy as jnp
 

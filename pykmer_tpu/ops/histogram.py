@@ -36,8 +36,16 @@ def saturating_accumulate(
     dense: uint8[D]; codes: int[M] (values in [0, D] where D==sentinel marks
     dropped/padded windows). Returns (updated dense, number of valid codes).
     """
-    m = codes.shape[0]
-    sorted_codes = jnp.sort(codes)
+    return saturating_accumulate_sorted(dense, jnp.sort(codes), sentinel)
+
+
+def saturating_accumulate_sorted(
+    dense: jax.Array, sorted_codes: jax.Array, sentinel: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Same as :func:`saturating_accumulate` for an ALREADY-SORTED batch —
+    the split device step sorts in its encode program (index.indexer), so
+    the apply program must not pay a second sort."""
+    m = sorted_codes.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
 
     is_start = jnp.concatenate(

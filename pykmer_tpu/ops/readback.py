@@ -421,6 +421,16 @@ class _ChaseSink:
                 f.result()  # surface any pwrite failure (ENOSPC, EIO, ...)
         return hex_
 
+    def abort(self) -> None:
+        """Drain background writers without surfacing their results.
+
+        Error path only: the caller is about to propagate an exception and
+        close the output fd — an in-flight pwrite completing after the fd
+        number is recycled would land in an unrelated file, so the pool must
+        be fully drained (not cancelled) before the caller's ``with`` exits."""
+        if self.writers is not None:
+            self.writers.shutdown(wait=True)
+
 
 def stream_dense_to_out(
     dense: jax.Array,
@@ -653,18 +663,27 @@ def stream_dense_to_out(
             patch_info: dict = {}
 
             def chaser() -> None:
+                # any failure (notably patch_fut.result() surfacing a device
+                # gather/transport error) is captured and re-raised on the
+                # main thread after join — a swallowed exception here used to
+                # manifest later as an unrelated KeyError/frontier assertion
                 pos = vals = None
-                for i in range(n_slices):
-                    unfolded[i].wait()
-                    if patch_fut is not None:
-                        if pos is None:
-                            pos, vals = patch_fut.result()
-                            patch_info["vals"] = vals
-                        a, b = slice_cut[i], slice_cut[i + 1]
-                        if b > a:
-                            out[pos[a:b]] = vals[a:b]
-                    sink.region_done(base + bounds[i] * cells_per_row,
-                                     base + bounds[i + 1] * cells_per_row)
+                try:
+                    for i in range(n_slices):
+                        unfolded[i].wait()
+                        if patch_info.get("aborted"):
+                            return
+                        if patch_fut is not None:
+                            if pos is None:
+                                pos, vals = patch_fut.result()
+                                patch_info["vals"] = vals
+                            a, b = slice_cut[i], slice_cut[i + 1]
+                            if b > a:
+                                out[pos[a:b]] = vals[a:b]
+                        sink.region_done(base + bounds[i] * cells_per_row,
+                                         base + bounds[i + 1] * cells_per_row)
+                except BaseException as exc:
+                    patch_info["error"] = exc
 
             chase_thread = _threading.Thread(target=chaser, daemon=True)
             chase_thread.start()
@@ -675,10 +694,26 @@ def stream_dense_to_out(
                 finally:
                     unfolded[i].set()
 
-            with ThreadPoolExecutor(min(threads, 8)) as ex:
-                for c in ex.map(work_chase, range(n_slices)):
-                    totals += c
+            try:
+                with ThreadPoolExecutor(min(threads, 8)) as ex:
+                    for c in ex.map(work_chase, range(n_slices)):
+                        totals += c
+            except BaseException:
+                # unfold worker failed: unblock + drain the chaser and the
+                # sink's writer pool BEFORE propagating — the caller's `with
+                # DirectWriter` closes the fds on unwind, and a still-running
+                # pwrite must not land on a recycled fd number
+                patch_info["aborted"] = True
+                for ev in unfolded:
+                    ev.set()
+                chase_thread.join()
+                sink.abort()
+                raise
             chase_thread.join()
+            chaser_err = patch_info.get("error")
+            if chaser_err is not None:
+                sink.abort()
+                raise chaser_err
             if patch_fut is not None:
                 vals = patch_info["vals"]
                 totals[escape] -= vals.shape[0]
