@@ -917,7 +917,10 @@ def _make_sweep_apply(kmer_len: int, variant: str, n_planes: int = 1):
             )
             return flat.reshape(dense.shape)
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    # donating the codes arena recycles it chunk-to-chunk on TPU; XLA:CPU
+    # cannot alias it (dtype/size mismatch) and warns, so donate dense only
+    donate = (0, 1) if not interpret else (0,)
+    return jax.jit(step, donate_argnums=donate)
 
 
 def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):

@@ -237,13 +237,25 @@ def _pairwise_matrix_device(
         step = _make_block_step(n)
         acc = jnp.zeros((n, n), dtype=jnp.int64)
     # raw `.kin` inputs read O_DIRECT into reusable pooled buffers (buffered
-    # reads pay this environment's slow page-cache allocation); `.bgz` keeps
-    # the gzip stream
+    # reads pay this environment's slow page-cache allocation); `.bgz`
+    # inputs use GZI-guided random access with the covering blocks inflated
+    # in parallel on a shared pool (zlib drops the GIL) — one serial gzip
+    # stream per file was the N=39 merge's decode bottleneck (VERDICT r2;
+    # the reference carries the .gzi for exactly this, gzireader.py:21-37).
+    # Non-BGZF gzip inputs (no block structure) keep the stream fallback.
+    from ..io.bgzf import BgzfRangeReader
+
+    inflate_pool = ThreadPoolExecutor(max(2, os.cpu_count() or 2))
     streams = []
     bufs = []
     for p in paths:
         if p.endswith("." + kinfmt.COMP_EXT):
-            streams.append(("gz", kinfmt.open_kin_stream(p, buffering=buffer_size)))
+            try:
+                streams.append(("bgz", BgzfRangeReader(p, pool=inflate_pool)))
+            except (IOError, OSError):
+                streams.append(
+                    ("gz", kinfmt.open_kin_stream(p, buffering=buffer_size))
+                )
         else:
             streams.append(("raw", DirectReader(p)))
         bufs.append(big_empty(block_size))
@@ -262,6 +274,8 @@ def _pairwise_matrix_device(
                     blk = bufs[i][:want]
                     if kind == "raw":
                         got = pread_into_mt(src, blk, off, threads=2)
+                    elif kind == "bgz":
+                        got = src.read_into(blk, off)
                     else:
                         got, mv = 0, memoryview(blk)
                         while got < want:
@@ -292,6 +306,7 @@ def _pairwise_matrix_device(
         finally:
             pool.shutdown()
     finally:
+        inflate_pool.shutdown(wait=False)
         for kind, src in streams:
             src.close()
     assert done == data_size

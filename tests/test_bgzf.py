@@ -49,6 +49,49 @@ def test_gzi_layout(tmp_path, rng):
     assert block1 == data.tobytes()[bgzf.BGZF_BLOCK_SIZE : 2 * bgzf.BGZF_BLOCK_SIZE]
 
 
+@pytest.mark.parametrize("with_gzi", [True, False])
+def test_range_reader_matches_decompress(tmp_path, rng, with_gzi):
+    """GZI-guided (or header-scan) random access must reproduce any
+    uncompressed range exactly, block boundaries included."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = 3 * bgzf.BGZF_BLOCK_SIZE + 12345
+    data = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+    src = tmp_path / "r.bin"
+    src.write_bytes(data)
+    bgz, gzi = bgzf.compress_file(str(src))
+    if not with_gzi:
+        os.remove(gzi)
+    idx = bgzf.BgzfBlockIndex(bgz)
+    assert idx.uncompressed_size == n
+    assert idx.c_offs.shape[0] == idx.u_offs.shape[0] == 5  # 4 blocks + end
+    with ThreadPoolExecutor(3) as pool:
+        r = bgzf.BgzfRangeReader(bgz, pool=pool)
+        for uoff, size in [
+            (0, n), (0, 1), (n - 1, 1), (12345, 200_000),
+            (bgzf.BGZF_BLOCK_SIZE - 1, 2), (bgzf.BGZF_BLOCK_SIZE, 10),
+            (2 * bgzf.BGZF_BLOCK_SIZE + 7, bgzf.BGZF_BLOCK_SIZE),
+            (n - 5, 100),  # past EOF -> short read
+        ]:
+            out = bytearray(size)
+            got = r.read_into(out, uoff)
+            assert got == min(size, n - uoff)
+            assert bytes(out[:got]) == data[uoff:uoff + got]
+        r.close()
+
+
+def test_range_reader_empty_file(tmp_path):
+    src = tmp_path / "e.bin"
+    src.write_bytes(b"")
+    bgz, _ = bgzf.compress_file(str(src))
+    idx = bgzf.BgzfBlockIndex(bgz)
+    assert idx.uncompressed_size == 0
+    r = bgzf.BgzfRangeReader(bgz)
+    out = bytearray(8)
+    assert r.read_into(out, 0) == 0
+    r.close()
+
+
 def test_gzi_print(tmp_path, rng, capsys):
     from pykmer_tpu.io.gzi import print_index
 

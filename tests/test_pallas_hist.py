@@ -49,6 +49,28 @@ def test_pallas_accumulate_int8_mxu_matches_bf16(rng):
     assert int(np.asarray(a).max()) == 255
 
 
+@pytest.mark.parametrize("narrow_cmp,pipelined", [
+    (True, False), (False, True), (True, True)])
+def test_fixed_kernel_options_match_base(rng, narrow_cmp, pipelined):
+    """narrow-compare and software-pipelined variants of the fixed sweep
+    must be bit-identical to the base kernel."""
+    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_pallas
+
+    d = 4**7
+    codes = rng.integers(0, d + 1, size=4096)
+    codes[:1500] = rng.integers(0, 8, size=1500)  # saturating hotspot
+    sorted_codes = jnp.asarray(np.sort(codes).astype(np.int32))
+    base = accumulate_sorted_pallas(
+        jnp.zeros((d // 128, 128), jnp.uint8), sorted_codes,
+        tile_rows=16, block=32, interpret=True)
+    for int8 in (False, True):
+        got = accumulate_sorted_pallas(
+            jnp.zeros((d // 128, 128), jnp.uint8), sorted_codes,
+            tile_rows=16, block=32, interpret=True, int8_mxu=int8,
+            narrow_cmp=narrow_cmp, pipelined=pipelined)
+        assert np.array_equal(np.asarray(base), np.asarray(got)), int8
+
+
 @pytest.mark.parametrize("density", ["uniform", "hotspot", "sparse"])
 def test_span_kernel_matches_fixed(rng, density):
     """Span-adaptive kernel must be bit-identical to the fixed tile sweep
