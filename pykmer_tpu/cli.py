@@ -143,14 +143,6 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print("error: stdin input ('-') is not supported for "
                       "multi-host jobs", file=sys.stderr)
                 return 2
-            if args.checkpoint_every:
-                # refuse rather than silently drop: the multi-host pipeline
-                # has no per-shard checkpointing (the single-host sharded
-                # path does) and a user expecting resumability must know
-                print("error: --checkpoint-every is not supported with "
-                      "--coordinator/--num-processes (multi-host jobs have "
-                      "no per-shard checkpoints yet)", file=sys.stderr)
-                return 2
             from .index import create_fasta_index_multihost
 
             header = create_fasta_index_multihost(
@@ -160,6 +152,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 coordinator_address=args.coordinator,
                 num_processes=args.num_processes,
                 process_id=args.process_id,
+                checkpoint_every=args.checkpoint_every,
                 verify=not args.no_verify, verbose=not args.quiet,
             )
             if header is None:  # non-zero process of the job

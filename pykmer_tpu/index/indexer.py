@@ -777,17 +777,17 @@ def _sweep_variant(config: IndexConfig, fold_size: int, kmer_len: int,
     on v5e (26.4 vs 29.6 ms per 16.7M-code sweep, scripts/bench_device_step),
     bit-identical (int32 accumulator), and the r2 fused-program hang no
     longer applies — the sweep now compiles as its own minimal program (see
-    _make_sweep_apply), which was the failing configuration's fix. 'span'
-    (the span-adaptive kernel) is opt-in: it fails parity on the real
-    backend as of r3 (interpret mode is clean — Mosaic dynamic-sublane
-    accumulate suspected) and its while-loop scalar overhead cancels the MXU
-    savings. Env override PYKMER_TPU_SWEEP=xla|bf16|int8|span; the resolved
-    value is passed as an explicit argument into the lru-cached program
-    makers so it participates in the compile-cache key (ADVICE r2)."""
+    _make_sweep_apply), which was the failing configuration's fix. (A
+    span-adaptive kernel variant was built and measured in r3: bit-exact in
+    interpret mode, wrong results from the real backend's Mosaic lowering
+    and no faster — deleted; analysis in docs/ROUND_NOTES.md.) Env override
+    PYKMER_TPU_SWEEP=xla|bf16|int8; the resolved value is passed as an
+    explicit argument into the lru-cached program makers so it participates
+    in the compile-cache key (ADVICE r2)."""
     env = os.environ.get("PYKMER_TPU_SWEEP", "").strip().lower()
-    if env in ("xla", "bf16", "int8", "span"):
+    if env in ("xla", "bf16", "int8"):
         return {"xla": "xla", "bf16": "fixed-bf16",
-                "int8": "fixed-int8", "span": "span"}[env]
+                "int8": "fixed-int8"}[env]
     if n_planes > 1:
         # the sub-plane path (K >= 17) is always a Pallas sweep
         # (interpret-mode on CPU backends keeps it testable at tiny K)
@@ -875,8 +875,6 @@ def _make_sweep_apply(kmer_len: int, variant: str, n_planes: int = 1):
     if n_planes > 1:
         from ..ops.pallas_hist import accumulate_sorted_planes
 
-        pl_variant = "span" if variant == "span" else "fixed"
-
         def step(dense, sorted_codes):
             # folded space beyond int32 sweep indexing (K >= 17): dense is a
             # TUPLE of contiguous sub-planes; each sub-plane sweeps an int32
@@ -887,16 +885,9 @@ def _make_sweep_apply(kmer_len: int, variant: str, n_planes: int = 1):
             # each at K=17) can stack on top of the 8 GiB plane tuple.
             out = accumulate_sorted_planes(
                 dense, sorted_codes, interpret=interpret,
-                int8_mxu=(variant == "fixed-int8"), variant=pl_variant,
+                int8_mxu=(variant == "fixed-int8"),
             )
             return out, (sorted_codes[:1]).astype(jnp.int32)
-
-    elif variant == "span":
-        from ..ops.pallas_hist import accumulate_sorted_span
-
-        def step(dense, sorted_codes):
-            return accumulate_sorted_span(dense, sorted_codes,
-                                          interpret=interpret)
 
     elif variant in ("fixed-bf16", "fixed-int8"):
         from ..ops.pallas_hist import accumulate_sorted_pallas

@@ -5,23 +5,34 @@ model (reference merger.py:19-20: every stage is a separate hand-launched OS
 process communicating through files). Here the hosts of one job cooperate on
 ONE index build:
 
-1. every process decodes the FASTA and takes a disjoint slice of the global
-   window range (K−1 stream overlap keeps every window intact — the
-   sequence-parallel analog of halo exchange at host granularity);
+1. every process reads + decodes ONLY its record-aligned byte range of the
+   raw FASTA (parallel/multihost.host_byte_slice; compressed/streamed
+   inputs fall back to full decode + window slicing) — the
+   sequence-parallel analog of halo exchange at host granularity;
 2. each process accumulates its slice into a full folded partial plane on
    its LOCAL devices (parallel/histogram: encode → all_to_all → saturating
-   accumulate over the local mesh, so ICI carries the count-space exchange);
-3. the per-host partial planes combine over the GLOBAL mesh with the exact
-   saturating merge — ``min(sum_h min(c_h, 255), 255) == min(sum_h c_h, 255)``
-   (uint16 psum across the 'host' axis + clip; exact for ≤ 257 hosts, see
-   parallel/multihost.combine_partial_dense) — riding DCN once;
-4. process 0 unfolds + writes + stamps metadata (same tail as the
-   single-host pipeline), everyone barriers, done.
+   accumulate over the local mesh, so ICI carries the count-space
+   exchange), checkpointing per-host progress every ``checkpoint_every``
+   steps (resume needs no coordination: the per-host loops are independent
+   until the final combine);
+3. the per-host partial planes REDUCE-SCATTER over the GLOBAL mesh with the
+   exact saturating merge — ``min(sum_h min(c_h,255), 255) ==
+   min(sum_h c_h, 255)`` (uint16 psum across the 'host' axis + clip; exact
+   for ≤ 257 hosts) — in bounded slabs, each host keeping only its owner
+   pieces (parallel/multihost.combine_partials_sharded; per-device memory
+   math in make_slab_combine — the r2 replicated combine needed 3x
+   fold_size per device, over HBM at K=17);
+4. sharded write: every host unfolds its owner pieces (two contiguous
+   regions each, ops.readback.unfold_piece) and pwrites them into the
+   shared tmp file; process 0 stamps metadata (global stats via allgather,
+   output checksum from one re-read) and renames. Requires the shared
+   filesystem the reference's whole pipeline already assumes
+   (merger reads the indexer's files, reference merger.py:19-20).
 
 The result is byte-identical to a single-host run regardless of process
 count or slice boundaries: integer saturating adds compose exactly and the
-window partition is exact (tested by a subprocess-driven 2-process CPU job,
-tests/test_multihost.py).
+record partition is exact (tested by a subprocess-driven 2-process CPU job,
+tests/test_multihost.py, including kill + resume).
 """
 
 from __future__ import annotations
@@ -40,6 +51,7 @@ from ..parallel.histogram import (
     make_sharded_accumulate,
     shard_batch_chunks_packed,
 )
+from ..parallel import multihost
 from ..parallel.mesh import make_mesh
 from ..parallel.multihost import host_slice, initialize_distributed
 from .indexer import _load_joined_stream, PRINT_EVERY
@@ -99,6 +111,8 @@ def create_fasta_index_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = True,
     verify: bool = True,
     verbose: bool = True,
 ) -> Optional[KinHeader]:
@@ -136,44 +150,74 @@ def create_fasta_index_multihost(
     tmp = header.index_tmp_file
     timer = header.timer
 
+    ckpt_key = f"{tmp}.proc{pid:03d}"
+    my_ckpt = multihost.load_shard_checkpoint(ckpt_key) if resume else None
     if is_main:
-        kinfmt.remove_outputs(input_file, kmer_len, overwrite)
+        if my_ckpt is None:
+            kinfmt.remove_outputs(input_file, kmer_len, overwrite)
         if verbose:
             print(
                 f"multihost index: {nproc} processes x "
                 f"{jax.local_device_count()} local devices, K={kmer_len}"
             )
 
-    # --- 1. decode + window slice -----------------------------------------
-    # every host decodes the input (the native decode runs at GB/s and
-    # overlaps across hosts; only the accumulate is the scaling-relevant
-    # phase) and takes a disjoint window range with K−1 stream overlap
+    # --- 1. per-host decode ------------------------------------------------
+    # plain files: each host reads + decodes only its record-aligned byte
+    # range (O(input/nproc) per host). Compressed inputs have no random
+    # access into the raw FASTA: every host decodes the whole stream and
+    # takes a disjoint window range with K−1 overlap (the r2 behaviour).
     raw: dict = {}
-    stream, chromosomes, total_bp = _load_joined_stream(
-        input_file, kmer_len, raw_out=raw if is_main else None,
-        tail_headroom=config.chunk_windows + kmer_len,
-    )
-    n_windows = max(int(stream.shape[0]) - kmer_len + 1, 0)
-    if n_windows <= 0:
-        raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
-    w0, w1 = host_slice(n_windows, pid, nproc)
-    if w1 > w0:
-        if nproc > 1:
-            # copy the slice into a pooled block and release the full
-            # stream: a bare view would pin the whole ~genome-size decode
-            # on EVERY host through the accumulate (and chunk_stream's
-            # in-place framing needs a big_empty-backed base anyway —
-            # an offset view would force an unpooled concatenate copy)
-            from ..utils.bigmem import big_empty
+    byte_split = nproc > 1 and not input_file.endswith((".gz", ".bgz"))
+    if byte_split:
+        b_lo, b_hi = multihost.host_byte_slice(input_file, pid, nproc)
+        if b_hi > b_lo:
+            with open(input_file, "rb") as fh:
+                fh.seek(b_lo)
+                data = np.frombuffer(fh.read(b_hi - b_lo), dtype=np.uint8)
+            from .indexer import _decode_joined_bytes
 
-            span = (w1 - w0) + kmer_len - 1
-            local_stream = big_empty(span)
-            np.copyto(local_stream, stream[w0 : w0 + span])
+            local_stream, my_chroms, my_bp = _decode_joined_bytes(
+                data, kmer_len, tail_headroom=config.chunk_windows + kmer_len
+            )
+            del data
         else:
-            local_stream = stream[w0 : w1 + kmer_len - 1]
+            local_stream, my_chroms, my_bp = None, [], 0
+        # global record list / totals in pid order == file order
+        gathered = multihost.allgather_small_json(
+            {"chroms": [[n, int(s)] for n, s in my_chroms], "bp": my_bp}
+        )
+        chromosomes = [
+            (n, s) for g in gathered for n, s in g["chroms"]
+        ]
+        total_bp = sum(g["bp"] for g in gathered)
+        if not chromosomes:
+            raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
     else:
-        local_stream = None
-    del stream
+        stream, chromosomes, total_bp = _load_joined_stream(
+            input_file, kmer_len, raw_out=raw if is_main else None,
+            tail_headroom=config.chunk_windows + kmer_len,
+        )
+        n_windows = max(int(stream.shape[0]) - kmer_len + 1, 0)
+        if n_windows <= 0:
+            raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
+        w0, w1 = host_slice(n_windows, pid, nproc)
+        if w1 > w0:
+            if nproc > 1:
+                # copy the slice into a pooled block and release the full
+                # stream: a bare view would pin the whole ~genome-size
+                # decode on EVERY host through the accumulate (and
+                # chunk_stream's in-place framing needs a big_empty-backed
+                # base anyway)
+                from ..utils.bigmem import big_empty
+
+                span = (w1 - w0) + kmer_len - 1
+                local_stream = big_empty(span)
+                np.copyto(local_stream, stream[w0 : w0 + span])
+            else:
+                local_stream = stream[w0 : w1 + kmer_len - 1]
+        else:
+            local_stream = None
+        del stream
 
     # input checksum on process 0, overlapping the accumulate
     import threading
@@ -197,6 +241,10 @@ def create_fasta_index_multihost(
         ck_thread.start()
 
     # --- 2. local accumulate over this host's devices ----------------------
+    # Per-host checkpoints: the loops are independent across hosts until the
+    # combine, so each host saves/validates/resumes its OWN progress — a
+    # re-launched job resumes from each host's last checkpoint with no
+    # cross-host coordination (hosts may even resume from different steps).
     local_mesh = make_mesh(
         n_shards=n_shards_local, n_data=n_data_local,
         devices=jax.local_devices(),
@@ -205,20 +253,58 @@ def create_fasta_index_multihost(
         local_mesh, kmer_len, config.chunk_windows,
         capacity_factor=capacity_factor,
     )
-    state = init_fn()
+    state = None
+    start_step = 0
+    rows = step_fn.rows
+    ck_meta = {
+        "kmer_len": kmer_len,
+        "chunk_windows": config.chunk_windows,
+        "rows": rows,
+        "input_size": os.path.getsize(input_file),
+        "nproc": nproc,
+        "pid": pid,
+    }
+    if my_ckpt is not None:
+        shards_np, ck = my_ckpt
+        if (
+            all(ck.get(k) == v for k, v in ck_meta.items())
+            and shards_np.shape == (step_fn.n_shards, step_fn.local_size)
+        ):
+            start_step = int(ck["next_step"])
+            import jax.numpy as jnp
+
+            dense0, _, _ = init_fn()
+            state = (
+                jax.device_put(shards_np, dense0.sharding),
+                jnp.asarray(int(ck["num_kmers"]), dtype=jnp.int64),
+                jnp.zeros((), dtype=jnp.int32),
+            )
+            if verbose:
+                print(f"  [{pid}] resuming from checkpoint step {start_step}")
+        else:
+            if verbose:
+                print(f"  [{pid}] stale checkpoint ignored")
+            multihost.clear_shard_checkpoint(ckpt_key)
+    if state is None:
+        state = init_fn()
     if local_stream is not None and local_stream.shape[0] >= kmer_len:
         padded, n_chunks = chunk_stream(
             local_stream, kmer_len, config.chunk_windows
         )
-        rows = step_fn.rows
         n_steps = (n_chunks + rows - 1) // rows
-        for s in range(n_steps):
+        for s in range(start_step, n_steps):
             chunks = shard_batch_chunks_packed(
                 padded, kmer_len, config.chunk_windows, rows, s
             )
             state = step_fn(state, chunks)
             if verbose and is_main and n_steps > 1:
                 print(f"  dispatched step {s + 1}/{n_steps}")
+            if checkpoint_every and (s + 1) % checkpoint_every == 0 \
+                    and s + 1 < n_steps:
+                multihost.save_shard_checkpoint(
+                    ckpt_key, np.asarray(state[0]), next_step=s + 1,
+                    num_kmers=int(state[1]), meta=ck_meta,
+                )
         del padded
     dense, nk_dev, maxb_dev = state
     local_kmers = int(nk_dev)
@@ -232,54 +318,90 @@ def create_fasta_index_multihost(
     del dense, state
     assert partial.shape == (fold_size,) and partial.dtype == np.uint8
 
-    # --- 3. global saturating combine (DCN) ---------------------------------
-    combined, num_kmers = _combine_partials_global(partial, local_kmers)
+    # --- 3. global saturating reduce-scatter combine (DCN) ------------------
+    from jax.experimental import multihost_utils
+
+    from ..formats.header import fast_counts256
+
+    pieces = multihost.combine_partials_sharded(partial)
+    if pieces is None:
+        # tiny plane that does not split over the global devices:
+        # replicated combine (cheap at this size), process 0 owns it all
+        combined, _nk = _combine_partials_global(partial, local_kmers)
+        pieces = [(0, combined)] if is_main else []
     del partial
+    counts = np.zeros(256, dtype=np.int64)
+    for _, piece in pieces:
+        counts += fast_counts256(piece)
+    gathered = multihost_utils.process_allgather(
+        np.concatenate([[local_kmers], counts]).astype(np.int64)
+    ).reshape(nproc, -1).sum(axis=0)
+    num_kmers = int(gathered[0])
+    counts = gathered[1:].copy()
+    counts[0] += fold_size  # each folded cell's mirror position is 0
     if num_kmers == 0:
         raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
 
-    # --- 4. process 0 writes; everyone barriers -----------------------------
-    from jax.experimental import multihost_utils
+    # --- 4. sharded write; process 0 stamps metadata ------------------------
+    from ..ops.readback import _pwrite_all, unfold_piece
+
+    if is_main:
+        # size the tmp file before anyone writes into it
+        with open(tmp, "wb") as fh:
+            fh.truncate(data_size)
+    multihost_utils.sync_global_devices("pykmer_tpu.index.multihost.sized")
+    if pieces:
+        with open(tmp, "r+b") as fh:
+            fd = fh.fileno()
+            for g0, piece in pieces:
+                primary, mirror, m_off = unfold_piece(piece, kmer_len, g0)
+                _pwrite_all(fd, primary, g0)
+                _pwrite_all(fd, mirror, m_off)
+            os.fsync(fd)
+    del pieces
+    multihost_utils.sync_global_devices("pykmer_tpu.index.multihost.written")
 
     if is_main:
         if total_bp >= PRINT_EVERY:
             timer.update(total_bp)
-        from ..formats.header import fast_counts256
-        from ..io.direct import DirectWriter
-        from ..ops.readback import _write_and_hash, unfold_canonical
-        from ..utils.bigmem import big_empty
-
-        counts = fast_counts256(combined).copy()
-        counts[0] += fold_size
-        out = big_empty(data_size)
-        unfold_canonical(combined, kmer_len, out=out)
-        del combined
-        with DirectWriter(tmp, size=data_size) as fd:
-            output_ck = _write_and_hash(fd, out)
-        del out
         header.num_kmers = num_kmers
         header.chromosomes = chromosomes
         if ck_thread is not None:
             ck_thread.join()
+        # one re-read of the written plane gives the provenance sha256 and,
+        # when verifying, the independent stats recheck (reference
+        # indexer.py:406-407's always-on invariant)
+        output_ck, file_counts = _hash_and_counts(tmp)
         header.write_metadata(
             tmp,
             stats_counts256=counts,
             input_checksum=input_ck.get("hex"),
             output_checksum=output_ck,
         )
-        if verify:
-            fresh = KinHeader(
-                project_name, input_file=input_file, kmer_len=kmer_len
-            )
-            fresh.update_stats_from_file(tmp)
-            if fresh.hist != header.hist or fresh.vals_sum != header.vals_sum:
-                raise AssertionError(
-                    "written .kin does not match computed stats"
-                )
+        if verify and not np.array_equal(file_counts, counts):
+            raise AssertionError("written .kin does not match computed stats")
         os.rename(tmp, header.index_file_root)
         if verbose:
             print("done")
-    else:
-        del combined
     multihost_utils.sync_global_devices("pykmer_tpu.index.multihost.done")
+    for p in range(nproc) if is_main else ():
+        multihost.clear_shard_checkpoint(f"{tmp}.proc{p:03d}")
     return header if is_main else None
+
+
+def _hash_and_counts(path: str):
+    """One streaming read → (sha256 hex, 256-bin value counts)."""
+    import hashlib
+
+    from ..formats.header import fast_counts256
+
+    h = hashlib.sha256()
+    counts = np.zeros(256, dtype=np.int64)
+    with open(path, "rb", buffering=0) as fh:
+        while True:
+            blk = fh.read(64 << 20)
+            if not blk:
+                break
+            h.update(blk)
+            counts += fast_counts256(np.frombuffer(blk, dtype=np.uint8))
+    return h.hexdigest(), counts

@@ -52,9 +52,8 @@ MAX_SWEEP_CELLS = 1 << 30
 
 
 def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
-            acc_ref, codes_buf, sems, *extra, tile_rows: int, block: int,
-            int8_mxu: bool = False, narrow_cmp: bool = False,
-            pipelined: bool = False):
+            acc_ref, codes_buf, sems, *, tile_rows: int, block: int,
+            int8_mxu: bool = False):
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
@@ -102,41 +101,23 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
 
         The row one-hot is built already transposed so the matmul contracts
         over the last/first dims MXU-natively — contracting dim 0 of a
-        [B, TR] operand costs a VMEM relayout per block. ``narrow_cmp``
-        builds the compares on int16/int8 operands (clamped — overhang rows
-        land on the never-matching sentinel) so the VPU can pack them."""
+        [B, TR] operand costs a VMEM relayout per block. (Measured dead
+        ends, r3: int16/int8-operand compares fail to lower on the real
+        backend; staging the one-hots through scratch to overlap VPU build
+        with the MXU matmul cost 44.6 vs 31.4 ms — scratch traffic beats
+        any overlap the scheduler finds. docs/ROUND_NOTES.md.)"""
         local = c - tile_base
         row = local >> 7
         col = local & (LANES - 1)
-        if narrow_cmp:
-            row16 = jnp.clip(row, -1, tile_rows).astype(jnp.int16)
-            oh_row_t = (
-                row16[None, :]
-                == jax.lax.broadcasted_iota(
-                    jnp.int16, (tile_rows, block), 0)
-            ).astype(fdt)
-            col8 = col.astype(jnp.int8)  # exact: col in [0, 128)
-            oh_col = (
-                col8[:, None]
-                == jax.lax.broadcasted_iota(jnp.int8, (block, LANES), 1)
-            ).astype(fdt)
-        else:
-            oh_row_t = (
-                row[None, :]
-                == jax.lax.broadcasted_iota(jnp.int32, (tile_rows, block), 0)
-            ).astype(fdt)
-            oh_col = (
-                col[:, None]
-                == jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
-            ).astype(fdt)
+        oh_row_t = (
+            row[None, :]
+            == jax.lax.broadcasted_iota(jnp.int32, (tile_rows, block), 0)
+        ).astype(fdt)
+        oh_col = (
+            col[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+        ).astype(fdt)
         return oh_row_t, oh_col
-
-    def matmul(oh_row_t, oh_col):
-        acc_ref[...] += jax.lax.dot_general(
-            oh_row_t, oh_col,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=adt,
-        )
 
     def body_serial(i, _):
         slot = jax.lax.rem(i, jnp.int32(2))
@@ -148,54 +129,19 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
             dma(i + 1, 1 - slot).start()
 
         dma(i, slot).wait()
-        matmul(*one_hots(load_codes(slot)))
+        oh_row_t, oh_col = one_hots(load_codes(slot))
+        acc_ref[...] += jax.lax.dot_general(
+            oh_row_t, oh_col,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=adt,
+        )
         return 0
-
-    def run_pipelined(oh_row_buf, oh_col_buf):
-        # software-pipelined: one-hot build of block i+1 (VPU) is issued
-        # independent of block i's matmul (MXU) so the VLIW scheduler can
-        # overlap the two units — serialized they cost ~15 + ~11 ms per
-        # 16.7M-code sweep (measured r3)
-        def build(i, slot):
-            r, c = one_hots(load_codes(slot))
-            oh_row_buf[slot] = r
-            oh_col_buf[slot] = c
-
-        dma(0, 0).start()
-
-        @pl.when(jnp.int32(1) < n_blocks)
-        def _():
-            dma(1, 1).start()
-
-        dma(0, 0).wait()
-        build(0, jnp.int32(0))
-
-        def body(i, _):
-            slot = jax.lax.rem(i, jnp.int32(2))
-
-            @pl.when(i + 2 < n_blocks)
-            def _():
-                # codes slot of block i is free once its one-hots exist
-                dma(i + 2, slot).start()
-
-            @pl.when(i + 1 < n_blocks)
-            def _():
-                dma(i + 1, 1 - slot).wait()
-                build(i + 1, 1 - slot)
-
-            matmul(oh_row_buf[slot], oh_col_buf[slot])
-            return 0
-
-        jax.lax.fori_loop(0, n_blocks, body, 0)
 
     @pl.when(end > start)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        if pipelined:
-            run_pipelined(*extra)
-        else:
-            dma(0, 0).start()
-            jax.lax.fori_loop(0, n_blocks, body_serial, 0)
+        dma(0, 0).start()
+        jax.lax.fori_loop(0, n_blocks, body_serial, 0)
         counts = jnp.minimum(acc_ref[...], 255).astype(jnp.int32) \
             if int8_mxu else jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
         old = dense_in_ref[...].astype(jnp.int32)
@@ -216,8 +162,6 @@ def accumulate_sorted_pallas(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     int8_mxu: bool = False,
-    narrow_cmp: bool = False,
-    pipelined: bool = False,
 ) -> jax.Array:
     """Apply sorted int32 codes to dense2d [R, 128] uint8 (R % tile_rows == 0).
 
@@ -279,16 +223,10 @@ def accumulate_sorted_pallas(
                        jnp.int32 if int8_mxu else jnp.float32),
             pltpu.VMEM((2 * block,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
-        ] + ([
-            pltpu.VMEM((2, tile_rows, block),
-                       jnp.int8 if int8_mxu else jnp.bfloat16),
-            pltpu.VMEM((2, block, LANES),
-                       jnp.int8 if int8_mxu else jnp.bfloat16),
-        ] if pipelined else []),
+        ],
     )
     kernel = functools.partial(_kernel, tile_rows=tile_rows, block=block,
-                               int8_mxu=int8_mxu, narrow_cmp=narrow_cmp,
-                               pipelined=pipelined)
+                               int8_mxu=int8_mxu)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -297,212 +235,6 @@ def accumulate_sorted_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * tile_rows * LANES // max(block, 1),
-            bytes_accessed=2 * r * LANES + 4 * m,
-            transcendentals=0,
-        ),
-    )(offsets, codes_pad, dense2d)
-
-
-def _span_kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
-                 acc_ref, codes_buf, sems, *, tile_rows: int, block: int,
-                 sub_rows: int, sub_block: int, int8_mxu: bool):
-    """Span-adaptive variant of ``_kernel`` (see accumulate_sorted_span)."""
-    t = pl.program_id(0)
-    start = offs_ref[t]
-    end = offs_ref[t + 1]
-    a_start = start & jnp.int32(~(block - 1))
-    n_blocks = pl.cdiv(end - a_start, jnp.int32(block))
-    tile_base = t * (tile_rows * LANES)
-    fdt = jnp.int8 if int8_mxu else jnp.bfloat16
-    adt = jnp.int32 if int8_mxu else jnp.float32
-    done = jnp.int32(tile_rows)  # sentinel: no unprocessed row left
-
-    def dma(i, slot):
-        slot = jnp.asarray(slot, jnp.int32)
-        offs = pl.multiple_of(a_start + i * block, block)
-        dst = pl.multiple_of(
-            (slot * jnp.int32(block)).astype(jnp.int32), block
-        )
-        return pltpu.make_async_copy(
-            codes_ref.at[pl.ds(offs, block)],
-            codes_buf.at[pl.ds(dst, block)],
-            sems.at[slot],
-        )
-
-    def process_sub(c):
-        # c: [sub_block] sorted codes (register value, statically sliced
-        # from the DMA'd block). Walk the rows it spans in sub_rows-sized
-        # windows: each window is ONE small matmul added to a dynamic
-        # 8-aligned slice of the accumulator. Because the window chases the
-        # data, per-update MXU cost tracks the block's actual row span
-        # (~density * sub_block / 128 rows) instead of the full tile_rows,
-        # and alignment-overhang codes (row < 0 / >= tile_rows) never get a
-        # window at all — the slop the fixed-tile kernel pays is gone.
-        local = c - tile_base
-        row = (local >> 7).astype(jnp.int32)
-        col = local & (LANES - 1)
-        oh_col = (
-            col[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (sub_block, LANES), 1)
-        ).astype(fdt)
-
-        def first_row_from(bound):
-            cand = jnp.where((row >= bound) & (row < tile_rows), row, done)
-            return jnp.min(cand)
-
-        def body(cur):
-            base8 = jnp.minimum(cur & ~jnp.int32(7),
-                                jnp.int32(tile_rows - sub_rows))
-            rel = row - base8
-            oh_row_t = (
-                rel[None, :]
-                == jax.lax.broadcasted_iota(
-                    jnp.int32, (sub_rows, sub_block), 0)
-            ).astype(fdt)
-            upd = jax.lax.dot_general(
-                oh_row_t, oh_col,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=adt,
-            )
-            sl = pl.ds(pl.multiple_of(base8, 8), sub_rows)
-            acc_ref[sl, :] += upd
-            return first_row_from(base8 + jnp.int32(sub_rows))
-
-        jax.lax.while_loop(lambda cur: cur < done, body,
-                           first_row_from(jnp.int32(0)))
-
-    def body(i, _):
-        slot = jax.lax.rem(i, jnp.int32(2))
-
-        @pl.when(i + 1 < n_blocks)
-        def _():
-            dma(i + 1, 1 - slot).start()
-
-        dma(i, slot).wait()
-        w = codes_buf[
-            pl.ds(
-                pl.multiple_of(
-                    (slot * jnp.int32(block)).astype(jnp.int32), block
-                ),
-                block,
-            )
-        ]
-        for sb in range(block // sub_block):
-            process_sub(w[sb * sub_block:(sb + 1) * sub_block])
-        return 0
-
-    @pl.when(end > start)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        dma(0, 0).start()
-        jax.lax.fori_loop(0, n_blocks, body, 0)
-        counts = jnp.minimum(acc_ref[...], 255).astype(jnp.int32) \
-            if int8_mxu else jnp.minimum(acc_ref[...], 255.0).astype(jnp.int32)
-        old = dense_in_ref[...].astype(jnp.int32)
-        new = jnp.minimum(old + counts, 255)
-        dense_out_ref[...] = new.astype(jnp.uint8)
-
-    @pl.when(end <= start)
-    def _():
-        dense_out_ref[...] = dense_in_ref[...]
-
-
-# Span kernel defaults, tuned on v5e at K=15 shape (16.7M codes / 2^29-cell
-# folded plane): tr=2048 keeps tile count (and per-tile pipeline overhead)
-# low — the span windows decouple MXU cost from tile_rows, so unlike the
-# fixed kernel bigger tiles no longer cost MXU time. sub_rows=128 matches
-# both the MXU's native 128-row output and the ~B/4-row span of 512 sorted
-# codes at 1/32 density; denser (repeat-heavy) chunks take fewer windows.
-DEFAULT_SPAN_TILE_ROWS = 2048
-DEFAULT_SUB_ROWS = 128
-DEFAULT_SUB_BLOCK = 512
-
-
-def accumulate_sorted_span(
-    dense2d: jax.Array,
-    sorted_codes: jax.Array,
-    tile_rows: int = DEFAULT_SPAN_TILE_ROWS,
-    block: int = DEFAULT_BLOCK,
-    sub_rows: int = DEFAULT_SUB_ROWS,
-    sub_block: int = DEFAULT_SUB_BLOCK,
-    interpret: bool = False,
-    int8_mxu: bool = True,
-) -> jax.Array:
-    """Span-adaptive tile sweep: same contract as accumulate_sorted_pallas.
-
-    The fixed-tile kernel pays ``tile_rows * 128`` MACs per update (the row
-    one-hot spans the whole tile) plus ~2x DMA-alignment slop. This variant
-    walks each sorted sub-block's actual row span in ``sub_rows`` windows
-    accumulated at a dynamic 8-aligned offset, so per-update MXU cost is
-    ``~span_rows * 128`` — data-density-bound, not tile-bound — and the
-    while-loop adapts per block (dense repeat-heavy chunks get cheaper, a
-    sparse block degrades gracefully to the fixed kernel's cost). int8
-    one-hots with an int32 accumulator are the default: exact (counts <=
-    sub_block per window matmul) and 2x MXU rate on v5e.
-    """
-    r, lanes = dense2d.shape
-    tile_rows = min(tile_rows, r)
-    sub_rows = min(sub_rows, tile_rows)
-    sub_block = min(sub_block, block)
-    assert lanes == LANES and r % tile_rows == 0
-    assert tile_rows % sub_rows == 0 and sub_rows % 8 == 0
-    assert block % sub_block == 0
-    if r * LANES > np.iinfo(np.int32).max:
-        raise ValueError(
-            f"pallas sweep indexes the plane in int32; {r * LANES} cells "
-            "exceed int32 range (K>=17 folded) — use sub-planes"
-        )
-    if block & (block - 1) or (not interpret and block < 1024):
-        raise ValueError(
-            f"block must be a power of two (>= 1024 on hardware), got {block}"
-        )
-    n_tiles = r // tile_rows
-    m = sorted_codes.shape[0]
-
-    bounds = (
-        jnp.arange(n_tiles + 1, dtype=sorted_codes.dtype) * (tile_rows * LANES)
-    )
-    offsets = jnp.searchsorted(sorted_codes, bounds).astype(jnp.int32)
-    codes_pad = jnp.concatenate(
-        [sorted_codes.astype(jnp.int32),
-         jnp.full((block,), np.int32(2**31 - 1), jnp.int32)]
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # codes stay in HBM
-            pl.BlockSpec(
-                (tile_rows, LANES), lambda t, offs: (t, t * 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_rows, LANES), lambda t, offs: (t, t * 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile_rows, LANES),
-                       jnp.int32 if int8_mxu else jnp.float32),
-            pltpu.VMEM((2 * block,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _span_kernel, tile_rows=tile_rows, block=block, sub_rows=sub_rows,
-        sub_block=sub_block, int8_mxu=int8_mxu,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.uint8),
-        input_output_aliases={2: 0},
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            # expected: ~1.5 windows per sub_block at uniform density
-            flops=2 * (m // sub_block + n_tiles) * 3 * sub_rows
-            * sub_block * LANES // 2,
             bytes_accessed=2 * r * LANES + 4 * m,
             transcendentals=0,
         ),
@@ -535,7 +267,6 @@ def accumulate_sorted_planes(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     int8_mxu: bool = False,
-    variant: str = "fixed",
 ):
     """Apply sorted codes to a folded plane carried as a tuple of [R_q, 128]
     uint8 sub-planes covering contiguous code ranges (see MAX_SWEEP_CELLS).
@@ -543,31 +274,18 @@ def accumulate_sorted_planes(
     ``sorted_codes`` may be int64 (K >= 17) — each sub-plane sweep sees an
     int32 localisation of the stream. Codes past the last plane (sentinels)
     are ignored. Returns the updated tuple; safe to donate.
-
-    ``variant='span'`` uses the span-adaptive kernel (int8 MXU implied by
-    its own default); ``'fixed'`` keeps the original tile sweep with
-    ``int8_mxu`` as given.
     """
     out = []
     base = 0
     for p in planes:
         cells = p.shape[0] * LANES
         local = localize_sorted(sorted_codes, base, base + cells)
-        if variant == "span":
-            out.append(
-                accumulate_sorted_span(
-                    p, local,
-                    tile_rows=min(DEFAULT_SPAN_TILE_ROWS, p.shape[0]),
-                    block=block, interpret=interpret,
-                )
+        out.append(
+            accumulate_sorted_pallas(
+                p, local, tile_rows=min(tile_rows, p.shape[0]),
+                block=block, interpret=interpret, int8_mxu=int8_mxu,
             )
-        else:
-            out.append(
-                accumulate_sorted_pallas(
-                    p, local, tile_rows=min(tile_rows, p.shape[0]),
-                    block=block, interpret=interpret, int8_mxu=int8_mxu,
-                )
-            )
+        )
         base += cells
     return tuple(out)
 

@@ -334,6 +334,35 @@ def unfold_range(
         out[m - bhi + 1 : m - blo + 1] = np.where(canon, 0, vals)[::-1]
 
 
+def unfold_piece(
+    folded_piece: np.ndarray, kmer_len: int, g0: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Expand folded cells [g0, g0+n) WITHOUT the full 4^K output buffer.
+
+    Returns (primary, mirror, mirror_offset): the piece's two contiguous
+    unfolded regions — primary belongs at offset ``g0``, mirror at
+    ``mirror_offset = 4^K - g0 - n``. The sharded multi-host writer pwrites
+    each host's owner pieces directly into the shared output file, so no
+    host materialises the whole plane (index/multihost)."""
+    n = folded_piece.shape[0]
+    size = 4**kmer_len
+    m = size - 1
+    assert g0 + n <= size // 2
+    primary = np.empty(n, dtype=np.uint8)
+    mirror = np.empty(n, dtype=np.uint8)
+    block = 1 << 22
+    for blo in range(0, n, block):
+        bhi = min(n, blo + block)
+        u = np.arange(g0 + blo, g0 + bhi, dtype=np.uint64)
+        canon = u <= _rc_codes_np(u, kmer_len)
+        vals = folded_piece[blo:bhi]
+        primary[blo:bhi] = np.where(canon, vals, 0)
+        # mirror cells [m-(g0+bhi-1), m-(g0+blo)] in descending-u order →
+        # positions [n-bhi, n-blo) of the mirror buffer
+        mirror[n - bhi : n - blo] = np.where(canon, 0, vals)[::-1]
+    return primary, mirror, size - g0 - n
+
+
 def _pick_mode(dense: jax.Array, size: int, mode: str, escapes=None) -> str:
     """Resolve "auto" to a concrete plane via the device escape counts.
 

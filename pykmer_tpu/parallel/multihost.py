@@ -57,6 +57,164 @@ def host_slice(total: int, process_id: int, num_processes: int) -> Tuple[int, in
     return start, min(start + per, total)
 
 
+def host_byte_slice(
+    path: str, process_id: int, num_processes: int
+) -> Tuple[int, int]:
+    """Record-aligned byte range [lo, hi) of a plain FASTA for this host.
+
+    Boundaries are the first record start (``>`` at a line start) at or
+    after ``size * pid / nproc``, found by scanning a small window of the
+    raw file — every host computes every boundary with the same
+    deterministic scan, so adjacent hosts always agree. Records never span
+    ranges and windows never span records (the joined stream poisons
+    inter-record windows), so per-host decode of just this byte range
+    yields exactly this host's share of the global window set: each host
+    reads O(size / nproc) instead of the whole file (VERDICT r2 #3b).
+    """
+    size = os.path.getsize(path)
+    if num_processes <= 1:
+        return 0, size
+
+    def boundary(target: int) -> int:
+        if target <= 0:
+            return 0
+        if target >= size:
+            return size
+        win = 8 << 20
+        with open(path, "rb") as fh:
+            pos = target - 1  # a '>' AT target needs its preceding newline
+            while pos < size - 1:
+                fh.seek(pos)
+                buf = np.frombuffer(fh.read(min(win, size - pos)), np.uint8)
+                hits = np.flatnonzero(buf[1:] == ord(">"))
+                for h in hits:
+                    if buf[h] == ord("\n"):
+                        return pos + int(h) + 1
+                if pos + buf.shape[0] >= size:
+                    break
+                pos += buf.shape[0] - 1
+        return size
+
+    per = size / num_processes
+    lo = boundary(int(per * process_id))
+    hi = boundary(int(per * (process_id + 1)))
+    return lo, hi
+
+
+def allgather_small_json(obj) -> list:
+    """All-gather one small JSON-serialisable object per process; returns
+    the per-process list in pid order. (multihost_utils.process_allgather
+    needs equal shapes, so lengths gather first, then padded payloads.)"""
+    import json as _json
+
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return [obj]
+    payload = np.frombuffer(
+        _json.dumps(obj).encode("utf-8"), dtype=np.uint8
+    ).copy()
+    lens = multihost_utils.process_allgather(
+        np.asarray([payload.shape[0]], dtype=np.int64)
+    ).reshape(-1)
+    cap = int(lens.max())
+    padded = np.zeros(cap, dtype=np.uint8)
+    padded[: payload.shape[0]] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    return [
+        _json.loads(bytes(gathered[p, : int(lens[p])]).decode("utf-8"))
+        for p in range(gathered.shape[0])
+    ]
+
+
+def make_slab_combine(gmesh):
+    """jitted saturating cross-host combine of one slab, output sharded
+    over ALL devices (host-major) — XLA lowers the sum + constraint to a
+    reduce-scatter, so no device ever materialises the full slab in uint16
+    (the r2 replicated combine needed fold_size x u16 + u8 per device:
+    24 GiB at K=17 — over v5e's 16 GiB HBM; VERDICT r2 #3c).
+
+    Per-device peak for a slab of S cells on an (H, D) mesh:
+    S/D u8 in + ~2*S/D u16 working + S/(H*D) u8 out  (~3 GiB at S=2^30,
+    D=1). The multi-host indexer loops fold_size/S slabs.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(gmesh.axis_names)  # ("host", "d")
+
+    @jax.jit
+    def combine(a):  # a: (H, S) sharded P("host", "d")
+        s = jnp.minimum(
+            jnp.sum(a.astype(jnp.uint16), axis=0), 255
+        ).astype(jnp.uint8)
+        return jax.lax.with_sharding_constraint(
+            s, NamedSharding(gmesh, P(axes))
+        )
+
+    return combine
+
+
+def combine_partials_sharded(
+    partial: np.ndarray,
+    slab_cells: int = 1 << 30,
+) -> Optional[List[Tuple[int, np.ndarray]]]:
+    """Saturating cross-host merge of per-host partial folded planes,
+    returning only THIS host's owner pieces.
+
+    Returns a list of (global_offset, cells) pairs — per slab of
+    ``slab_cells``, host h owns the slab's cells [h*S/H, (h+1)*S/H), so no
+    device (or host) ever materialises the whole combined plane (VERDICT r2
+    #3c; device memory math in make_slab_combine). The pieces are disjoint
+    and cover the plane across hosts; the sharded writer unfolds and
+    pwrites each independently. Exact: uint16 psum + clip == min(sum, 255)
+    for <= 257 hosts. Returns ``None`` when the plane does not split evenly
+    over the global devices (tiny K) — callers fall back to the replicated
+    combine, which is what a plane that small wants anyway.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    nproc = jax.process_count()
+    fold_size = partial.shape[0]
+    if nproc == 1:
+        return [(0, partial)]
+    assert nproc <= 257, "uint16 saturating combine is exact for <= 257 hosts"
+    ldc = jax.local_device_count()
+    step = nproc * ldc
+    if fold_size % step:
+        return None
+    devs = np.array(jax.devices()).reshape(nproc, ldc)
+    gmesh = Mesh(devs, ("host", "d"))
+    combine = make_slab_combine(gmesh)
+    pid = jax.process_index()
+
+    # slabs split evenly over the (host-major) device shards
+    slab = min(slab_cells, fold_size)
+    slab = max(slab // step * step, step)
+    pieces: List[Tuple[int, np.ndarray]] = []
+    for s0 in range(0, fold_size, slab):
+        s1 = min(s0 + slab, fold_size)
+        cur = s1 - s0
+        garr = multihost_utils.host_local_array_to_global_array(
+            partial[s0:s1].reshape(1, cur), gmesh, P("host", "d")
+        )
+        combined = combine(garr)
+        # host-major output sharding: this host's addressable shards are
+        # the slab's cells [pid*cur/H, (pid+1)*cur/H), in device order
+        piece = np.concatenate(
+            [np.asarray(sh.data) for sh in sorted(
+                combined.addressable_shards, key=lambda sh: sh.index[0].start
+            )]
+        )
+        assert piece.shape[0] == cur // nproc
+        pieces.append((s0 + pid * (cur // nproc), piece))
+    return pieces
+
+
 def combine_partial_dense(parts: List[np.ndarray]) -> np.ndarray:
     """Saturating elementwise merge of per-host partial dense arrays.
 

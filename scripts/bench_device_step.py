@@ -173,45 +173,6 @@ def main() -> None:
                 continue
             results[(tile_rows, int8_mxu)] = t
 
-    # --- span-adaptive sweep variants -----------------------------------
-    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_span
-
-    span_results = {}
-    for tile_rows, sub_rows, sub_block in (
-        (1024, 128, 512),
-        (2048, 128, 512),
-        (2048, 128, 1024),
-        (2048, 256, 512),
-        (4096, 128, 512),
-    ):
-        if fold_size < tile_rows * 128:
-            continue
-        dense = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
-
-        def sweep(d, s, tr=tile_rows, sr=sub_rows, sb=sub_block):
-            return accumulate_sorted_span(d, s, tile_rows=tr, sub_rows=sr,
-                                          sub_block=sb)
-
-        swj = jax.jit(sweep, donate_argnums=(0,))
-        try:
-            t = timed_chain(lambda d: swj(d, sorted_codes), dense)
-        except Exception as exc:
-            print(f"  span tr={tile_rows} sr={sub_rows} sb={sub_block}: "
-                  f"FAILED {type(exc).__name__}: {str(exc)[:160]}",
-                  file=sys.stderr)
-            continue
-        span_results[(tile_rows, sub_rows, sub_block)] = t
-
-    span_ok = None
-    if span_results:
-        dense_a = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
-        dense_b = jnp.zeros((fold_size // 128, 128), dtype=jnp.uint8)
-        a = accumulate_sorted_pallas(dense_a, sorted_codes)
-        b = accumulate_sorted_span(dense_b, sorted_codes)
-        span_ok = bool(jnp.array_equal(a, b))
-        print(f"span sweep parity vs bf16 fixed: {span_ok}", file=sys.stderr)
-        del dense_a, dense_b, a, b
-
     # correctness spot-check of the int8 variant vs bf16 (device-side
     # compare — the planes are 0.5 GiB, never fetch them)
     int8_ok = None
@@ -251,12 +212,6 @@ def main() -> None:
               f"  (~{mfu * 100:4.1f}% MXU of {'394T' if i8 else '197T'})")
         if t < best_sweep:
             best_key, best_sweep = (tr, i8), t
-    for (tr, sr, sb), t in sorted(span_results.items()):
-        print(f"sweep span tr={tr:5d} sr={sr:3d} sb={sb:4d} "
-              f"{t * 1e3:8.1f} ms"
-              + ("" if span_ok else "  (PARITY FAILED)"))
-        if span_ok and t < best_sweep:
-            best_key, best_sweep = (tr, sr, sb), t
     step = t_enc + best_sort + best_sweep
     print(f"\nbest step = encode {t_enc * 1e3:.1f} + sort "
           f"{best_sort * 1e3:.1f} + sweep {best_sweep * 1e3:.1f} ms "

@@ -49,99 +49,6 @@ def test_pallas_accumulate_int8_mxu_matches_bf16(rng):
     assert int(np.asarray(a).max()) == 255
 
 
-@pytest.mark.parametrize("narrow_cmp,pipelined", [
-    (True, False), (False, True), (True, True)])
-def test_fixed_kernel_options_match_base(rng, narrow_cmp, pipelined):
-    """narrow-compare and software-pipelined variants of the fixed sweep
-    must be bit-identical to the base kernel."""
-    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_pallas
-
-    d = 4**7
-    codes = rng.integers(0, d + 1, size=4096)
-    codes[:1500] = rng.integers(0, 8, size=1500)  # saturating hotspot
-    sorted_codes = jnp.asarray(np.sort(codes).astype(np.int32))
-    base = accumulate_sorted_pallas(
-        jnp.zeros((d // 128, 128), jnp.uint8), sorted_codes,
-        tile_rows=16, block=32, interpret=True)
-    for int8 in (False, True):
-        got = accumulate_sorted_pallas(
-            jnp.zeros((d // 128, 128), jnp.uint8), sorted_codes,
-            tile_rows=16, block=32, interpret=True, int8_mxu=int8,
-            narrow_cmp=narrow_cmp, pipelined=pipelined)
-        assert np.array_equal(np.asarray(base), np.asarray(got)), int8
-
-
-@pytest.mark.parametrize("density", ["uniform", "hotspot", "sparse"])
-def test_span_kernel_matches_fixed(rng, density):
-    """Span-adaptive kernel must be bit-identical to the fixed tile sweep
-    across densities: uniform (typical), hotspot (saturating, window stays
-    put), sparse (windows leap across rows — exercises the while-loop)."""
-    from pykmer_tpu.ops.pallas_hist import (
-        accumulate_sorted_pallas,
-        accumulate_sorted_span,
-    )
-
-    kmer_len = 7
-    d = 4**kmer_len
-    if density == "uniform":
-        codes = rng.integers(0, d, size=4096)
-    elif density == "hotspot":
-        codes = rng.integers(0, d, size=4096)
-        codes[:2600] = rng.integers(0, 4, size=2600)  # saturation
-    else:
-        codes = rng.integers(0, d, size=96) * 1  # ~1 code per 170 cells
-    # some sentinels at the end (past-the-plane codes must be ignored)
-    codes = np.concatenate([codes, np.full(32, d, dtype=np.int64)])
-    sorted_codes = jnp.asarray(np.sort(codes).astype(np.int32))
-    base = accumulate_sorted_pallas(
-        jnp.zeros((d // 128, 128), jnp.uint8), sorted_codes,
-        tile_rows=16, block=32, interpret=True,
-    )
-    for sub_rows, sub_block in [(8, 16), (8, 32), (16, 32)]:
-        span = accumulate_sorted_span(
-            jnp.zeros((d // 128, 128), jnp.uint8), sorted_codes,
-            tile_rows=16, block=32, sub_rows=sub_rows, sub_block=sub_block,
-            interpret=True,
-        )
-        assert np.array_equal(np.asarray(base), np.asarray(span)), (
-            density, sub_rows, sub_block)
-
-
-def test_span_kernel_second_apply_accumulates(rng):
-    """Applying a second batch must saturate-add onto the existing plane."""
-    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_span
-
-    d = 4**7
-    codes = np.sort(rng.integers(0, d, size=2048).astype(np.int32))
-    dense = jnp.zeros((d // 128, 128), jnp.uint8)
-    dense = accumulate_sorted_span(dense, jnp.asarray(codes), tile_rows=16,
-                                   block=32, sub_rows=8, sub_block=16,
-                                   interpret=True)
-    dense = accumulate_sorted_span(dense, jnp.asarray(codes), tile_rows=16,
-                                   block=32, sub_rows=8, sub_block=16,
-                                   interpret=True)
-    want = np.minimum(np.bincount(codes, minlength=d) * 2, 255)
-    assert np.array_equal(np.asarray(dense).reshape(-1), want)
-
-
-def test_accumulate_planes_span_variant(rng):
-    """Sub-plane (K>=17-style) routing through the span kernel."""
-    from pykmer_tpu.ops.pallas_hist import accumulate_sorted_planes
-
-    d = 4**7
-    per = d // 4
-    codes = np.sort(rng.integers(0, d + 1, size=1024).astype(np.int64))
-    planes = tuple(
-        jnp.zeros((per // 128, 128), jnp.uint8) for _ in range(4)
-    )
-    out_fixed = accumulate_sorted_planes(
-        planes, jnp.asarray(codes), tile_rows=8, block=16, interpret=True)
-    out_span = accumulate_sorted_planes(
-        planes, jnp.asarray(codes), block=16, interpret=True, variant="span")
-    for a, b in zip(out_fixed, out_span):
-        assert np.array_equal(np.asarray(a), np.asarray(b))
-
-
 def test_pallas_accumulate_saturation(rng):
     d = 4**7
     dense = jnp.zeros(d, dtype=jnp.uint8)
