@@ -26,4 +26,3 @@ if _cache_dir and _cache_dir != "0":
 
 from .encode import code_dtype, canonical_codes, make_canonical_codes_fn, SENTINEL_FACTORY  # noqa: E402
 from .histogram import saturating_accumulate, make_accumulate_fn, counts256_from_dense  # noqa: E402
-from .compare import pack_validity_mask, pair_counts_from_masks, popcount_mask  # noqa: E402

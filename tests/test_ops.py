@@ -1,4 +1,4 @@
-"""Device ops vs the oracle: encoding, saturating histogram, mask compare."""
+"""Device ops vs the oracle: encoding and the saturating histogram."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,9 +7,6 @@ import pytest
 from pykmer_tpu.ops import (
     canonical_codes,
     code_dtype,
-    pack_validity_mask,
-    pair_counts_from_masks,
-    popcount_mask,
     saturating_accumulate,
 )
 from pykmer_tpu.ops.encode import chunk_stream, iter_chunks
@@ -82,19 +79,6 @@ def test_chunk_stream_framing(rng):
         got.append(codes[codes < 4**k])
     got = np.concatenate(got)
     assert np.array_equal(got, want)
-
-
-def test_pack_and_popcount(rng):
-    dense = rng.integers(0, 256, size=4096).astype(np.uint8)
-    other = rng.integers(0, 256, size=4096).astype(np.uint8)
-    for mn, mx in [(1, 255), (2, 100), (5, 5)]:
-        ma = pack_validity_mask(jnp.asarray(dense), mn, mx)
-        mb = pack_validity_mask(jnp.asarray(other), mn, mx)
-        av = (dense >= mn) & (dense <= mx)
-        bv = (other >= mn) & (other <= mx)
-        assert int(popcount_mask(ma)) == int(av.sum())
-        assert int(popcount_mask(mb)) == int(bv.sum())
-        assert int(pair_counts_from_masks(ma, mb)) == int((av & bv).sum())
 
 
 def test_packed_chunk_stream_roundtrip(rng):
