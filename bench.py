@@ -155,31 +155,107 @@ def main() -> None:
     # pipeline is wire-dominated: 4 repeats give the best-of a fair shot at
     # one good phase (identical code measured 26-70 M bp/s across windows)
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "4")))
-    best = None
-    for r in range(repeats):
+
+    def timed_index(path, k, cfg_, do_verify):
         t0 = time.time()
         header = create_fasta_index(
-            fasta, "bench", fasta, kmer_len,
-            overwrite=True, config=cfg, verify=verify, verbose=False,
+            path, "bench", path, k,
+            overwrite=True, config=cfg_, verify=do_verify, verbose=False,
         )
         elapsed = time.time() - t0
         total_seq_bp = sum(c[1] for c in header.chromosomes)
-        bp_s = total_seq_bp / elapsed
-        log(f"run {r + 1}/{repeats}: K={kmer_len} bp={total_seq_bp:,} "
-            f"elapsed={elapsed:.2f}s bp/s={bp_s:,.0f} "
-            f"num_kmers={header.num_kmers:,}")
+        return total_seq_bp / elapsed, header, elapsed
+
+    best = None
+    for r in range(repeats):
+        bp_s, header, elapsed = timed_index(fasta, kmer_len, cfg, verify)
+        log(f"run {r + 1}/{repeats}: K={kmer_len} bp/s={bp_s:,.0f} "
+            f"elapsed={elapsed:.2f}s num_kmers={header.num_kmers:,}")
         if best is None or bp_s > best:
             best = bp_s
     bp_s = best
     # no silent fallback: a K the reference never published would otherwise
     # be compared against the K=15 figure and report a misleading ratio
     base = BASELINES.get(kmer_len)
-    print(json.dumps({
+    result = {
         "metric": f"index_bp_per_s_k{kmer_len}_1chip{tag}",
         "value": round(bp_s),
         "unit": "bp/s",
         "vs_baseline": round(bp_s / base, 2) if base else None,
-    }))
+    }
+
+    # one verified run: the reference's published bp/s include its always-on
+    # end-of-run histogram recheck (indexer.py:406-407), so the honest
+    # apples-to-apples figure rides along (VERDICT r2 #8)
+    if not verify and os.environ.get("BENCH_VERIFIED_RUN", "1") == "1":
+        v_bp_s, _, v_elapsed = timed_index(fasta, kmer_len, cfg, True)
+        log(f"verified run: bp/s={v_bp_s:,.0f} elapsed={v_elapsed:.2f}s")
+        result["verified_bp_per_s"] = round(v_bp_s)
+        if base:
+            result["verified_vs_baseline"] = round(v_bp_s / base, 2)
+
+    # merge throughput: one full K=15 pair (both planes streamed + device
+    # contingency) vs the reference's 27.0 s/pair wall (741 pairs in
+    # 333m57s, 4 processes — README.md:56-81). TPU only: the 1 GiB-plane
+    # XLA:CPU contingency program is not a measurement target
+    if os.environ.get("BENCH_MERGE", "1") == "1" and kmer_len == 15 \
+            and jax.default_backend() == "tpu":
+        try:
+            result.update(bench_merge_pair(fasta, kmer_len))
+        except Exception as exc:
+            log(f"merge bench failed: {exc!r}")
+            result["merge_error"] = str(exc)[:120]
+
+    # K=17 row (reference baseline 128,452 bp/s — README.md:50): one run,
+    # device sub-plane strategy, 17 GiB output deleted afterwards
+    if os.environ.get("BENCH_K17", "1") == "1" and kmer_len == 15 \
+            and jax.default_backend() == "tpu":
+        try:
+            k17cfg = IndexConfig(kmer_len=17)
+            k17_bp_s, _, k17_elapsed = timed_index(fasta, 17, k17cfg, verify)
+            log(f"K=17 run: bp/s={k17_bp_s:,.0f} elapsed={k17_elapsed:.2f}s")
+            result["k17_bp_per_s"] = round(k17_bp_s)
+            result["k17_vs_baseline"] = round(k17_bp_s / BASELINES[17], 2)
+        except Exception as exc:
+            log(f"K=17 bench failed: {exc!r}")
+            result["k17_error"] = str(exc)[:120]
+        finally:
+            for suffix in (".17.kin", ".17.kin.json", ".17.kin.tmp"):
+                p = fasta + suffix
+                if os.path.exists(p):
+                    os.remove(p)
+
+    print(json.dumps(result))
+
+
+def bench_merge_pair(fasta: str, kmer_len: int) -> dict:
+    """Time one full merge pair over the bench index (+ a copy of it)."""
+    import shutil
+
+    from pykmer_tpu.merge import merge
+
+    kin = f"{fasta}.{kmer_len:02d}.kin"
+    kin2 = f"{fasta}2.{kmer_len:02d}.kin"
+    if not os.path.exists(kin2) or \
+            os.path.getmtime(kin2) < os.path.getmtime(kin):
+        shutil.copyfile(kin, kin2)
+        shutil.copyfile(f"{kin}.json", f"{kin2}.json")
+        # the sibling json records the original input path; merge only needs
+        # kmer_len consistency, which copying preserves
+    out = os.path.join(os.path.dirname(fasta), "bench_merge")
+    for suffix in (".001-255.kma", ".001-255.kma.json"):
+        if os.path.exists(out + suffix):
+            os.remove(out + suffix)
+    t0 = time.time()
+    merge(out, [kin, kin2], verbose=False)
+    dt = time.time() - t0
+    streamed = os.path.getsize(kin) + os.path.getsize(kin2)
+    log(f"merge pair: {dt:.2f}s ({streamed / dt / 1e6:,.0f} MB/s streamed)")
+    return {
+        "merge_pair_s": round(dt, 2),
+        "merge_mb_per_s": round(streamed / dt / 1e6),
+        "merge_vs_baseline": round(27.03 / dt, 2),
+    }
 
 
 if __name__ == "__main__":

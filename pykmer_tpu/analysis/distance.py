@@ -51,6 +51,19 @@ def calc_distance(
     return basefile, dist
 
 
+def jaccard_from_kma(matrix_file: str) -> Tuple[np.ndarray, list]:
+    """(Jaccard distance matrix, sample ids) of a `.kma` — the in-memory
+    form of :func:`calc_distance` without writing the npz (used by the kwip
+    cross-validation comparison)."""
+    matrix = get_matrix(matrix_file)
+    shared = matrix[:, :, 2].astype(np.float64)
+    total = matrix[:, :, 0:2].sum(axis=2).astype(np.float64)
+    dist = 1.0 - (shared / (total - shared))
+    np.fill_diagonal(dist, 0.0)
+    _, ids = sample_ids_from_kma_json(matrix_file)
+    return dist, ids
+
+
 def sample_ids_from_kma_json(matrix_file: str) -> Tuple[str, list]:
     """(project_name, ids) from the `.kma.json` sidecar
     (calculate_distance.py:137-146)."""

@@ -71,3 +71,77 @@ def load_kwip(dist_file: str, names_file: Optional[str] = None) -> np.ndarray:
                height_px=12 * 4 * (len(ids) + 5), width_px=12 * 2 * (len(ids) + 5),
                dpi=72)
     return dm.redundant_form()
+
+
+def _normalise_sample_id(sid: str) -> str:
+    """Strip tool-specific suffixes so kWIP hash names match `.kma` sample
+    ids (kWIP labels samples `<input>.khmer`, our matrices use the input
+    file name — reference kwip/README.md labels vs calculate_distance ids).
+    """
+    import os
+
+    base = os.path.basename(str(sid))
+    for suffix in (".khmer", ".ct", ".ct.gz"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    return base
+
+
+def compare_with_kma(dist_file: str, kma_file: str) -> dict:
+    """Agreement report between a kWIP `.dist` matrix and our `.kma`-derived
+    Jaccard distances over the same samples (the reference's external-oracle
+    cross-validation, kwip/README.md:180-239 — two independent k-mer
+    engines should induce the same sample geometry).
+
+    Matches samples by normalised name, then reports Pearson and Spearman
+    correlation of the common condensed distances plus the fraction of
+    samples whose nearest neighbour agrees. Raises if fewer than 3 samples
+    match (no meaningful geometry to compare).
+    """
+    from .distance import jaccard_from_kma
+
+    kw_matrix, kw_ids = read_kwip_dist(dist_file)
+    ja_matrix, ja_ids = jaccard_from_kma(kma_file)
+
+    kw_map = {_normalise_sample_id(i): n for n, i in enumerate(kw_ids)}
+    ja_map = {_normalise_sample_id(i): n for n, i in enumerate(ja_ids)}
+    common = sorted(set(kw_map) & set(ja_map))
+    if len(common) < 3:
+        raise ValueError(
+            f"only {len(common)} samples match between {dist_file} "
+            f"({sorted(kw_map)[:5]}...) and {kma_file} "
+            f"({sorted(ja_map)[:5]}...)"
+        )
+    a = kw_matrix[np.ix_([kw_map[c] for c in common],
+                         [kw_map[c] for c in common])]
+    b = ja_matrix[np.ix_([ja_map[c] for c in common],
+                         [ja_map[c] for c in common])]
+    n = len(common)
+    iu = np.triu_indices(n, k=1)
+    x, y = a[iu], b[iu]
+
+    def pearson(u, v):
+        u = u - u.mean()
+        v = v - v.mean()
+        denom = float(np.sqrt((u * u).sum() * (v * v).sum()))
+        return float((u * v).sum() / denom) if denom else float("nan")
+
+    def rank(u):
+        order = np.argsort(u, kind="stable")
+        r = np.empty_like(order, dtype=np.float64)
+        r[order] = np.arange(u.shape[0])
+        return r
+
+    # nearest-neighbour agreement (diagonal excluded)
+    a_ex, b_ex = a.copy(), b.copy()
+    np.fill_diagonal(a_ex, np.inf)
+    np.fill_diagonal(b_ex, np.inf)
+    a_nn = np.argmin(a_ex, axis=1)
+    b_nn = np.argmin(b_ex, axis=1)
+    return {
+        "n_samples": n,
+        "pearson": pearson(x, y),
+        "spearman": pearson(rank(x), rank(y)),
+        "nn_agreement": float((a_nn == b_nn).mean()),
+        "samples": common,
+    }

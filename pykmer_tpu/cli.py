@@ -106,6 +106,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("matrix_file")
     p.add_argument("names_file", nargs="?", default=None)
 
+    p = sub.add_parser(
+        "kwip",
+        help="cluster a kWIP .dist matrix; optionally cross-validate vs a "
+             ".kma (the reference's external-oracle workflow, docs/KWIP.md)")
+    p.add_argument("dist_file")
+    p.add_argument("names_file", nargs="?", default=None)
+    p.add_argument("--compare-kma", default=None,
+                   help="also report distance/topology agreement vs this "
+                        ".kma matrix")
+
     p = sub.add_parser("gzi", help="dump a .gzi random-access index")
     p.add_argument("index_file")
 
@@ -233,6 +243,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .analysis.distance import load
 
         load(args.matrix_file, names_file=args.names_file)
+        return 0
+
+    if args.command == "kwip":
+        from .analysis.kwip import compare_with_kma, load_kwip
+
+        load_kwip(args.dist_file, names_file=args.names_file)
+        if args.compare_kma:
+            rep = compare_with_kma(args.dist_file, args.compare_kma)
+            print(f"samples matched     : {rep['n_samples']}")
+            print(f"pearson (condensed) : {rep['pearson']:.4f}")
+            print(f"spearman (condensed): {rep['spearman']:.4f}")
+            print(f"nearest-neighbour agreement: {rep['nn_agreement']:.2%}")
         return 0
 
     if args.command == "gzi":

@@ -65,7 +65,77 @@ def test_compiled_pallas_k11_oracle_parity(rng, tmp_path):
     assert np.array_equal(got, want)
 
 
-def test_compiled_multiplane_and_packed_readback(rng, tmp_path, monkeypatch):
+def test_compiled_k15_full_plane_oracle(rng, tmp_path):
+    """K=15 at the PRODUCTION plane shape (2^29-cell folded plane, the
+    headline-benchmark geometry) through the compiled int8 tile sweep +
+    packed readback — byte-identical to the gold implementation. Small
+    input (fast), full-size plane (the compiled shapes that matter)."""
+    k = 15
+    fa = str(tmp_path / "hw15.fa")
+    seq = _write_fasta(fa, rng, 3_000_000)
+    want, want_nk = _oracle_kin(seq, k)
+    assert int(want.max()) == 255, "fixture must exercise saturation"
+
+    h = create_fasta_index(
+        fa, "hw15", fa, k,
+        config=IndexConfig(kmer_len=k, accumulate="device"),
+        verbose=False,
+    )
+    got = np.fromfile(h.index_file_root, dtype=np.uint8)
+    assert h.num_kmers == want_nk
+    assert np.array_equal(got, want)
+    meta = json.load(open(h.metadata_file))
+    assert meta["vals_max"] == 255
+
+
+def _two_small_kins(rng, tmp_path, k=11):
+    paths = []
+    for tag in ("ma", "mb"):
+        fa = str(tmp_path / f"{tag}.fa")
+        _write_fasta(fa, rng, 400_000)
+        h = create_fasta_index(
+            fa, tag, fa, k, config=IndexConfig(kmer_len=k), verbose=False)
+        paths.append(h.index_file_root)
+    return paths
+
+
+def test_merge_on_tpu_matches_stream_oracle(rng, tmp_path):
+    """The device merge engine (validity planes + V.V^T int8 MXU matmul)
+    on real TPU must reproduce the reference-shaped streamed pair counts
+    (tools.py:439-493 semantics)."""
+    from pykmer_tpu.merge import merge
+    from pykmer_tpu.merge.merger import pair_counts_stream
+
+    k = 11
+    a, b = _two_small_kins(rng, tmp_path, k)
+    out = str(tmp_path / "hwmerge")
+    _, matrix = merge(out, [a, b], verbose=False)
+    want = pair_counts_stream(a, b, 4**k)
+    assert tuple(int(v) for v in matrix[0, 1]) == want
+    assert tuple(int(v) for v in matrix[1, 0]) == (want[1], want[0], want[2])
+
+
+def test_sharded_merge_step_hw(rng, tmp_path):
+    """parallel/compare's shard_map merge step compiled on the real chip
+    (1-device mesh — the machinery, not the scaling) vs numpy."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pykmer_tpu.parallel.compare import make_sharded_merge_step
+    from pykmer_tpu.parallel.mesh import SHARD_AXIS
+
+    n, cells = 3, 1 << 15
+    mesh = Mesh(np.array(jax.devices()[:1]), (SHARD_AXIS,))
+    step = make_sharded_merge_step(mesh, n)
+    import jax.numpy as jnp
+
+    acc = jax.device_put(jnp.zeros((n, n), dtype=jnp.int64),
+                         step.acc_sharding)
+    dense = rng.integers(0, 8, size=(n, cells)).astype(np.uint8)
+    bits = np.packbits((dense >= 1) & (dense <= 255), axis=1)
+    acc = step(acc, bits)
+    v = ((dense >= 1) & (dense <= 255)).astype(np.int64)
+    assert np.array_equal(np.asarray(acc), v @ v.T)
     """The K>=17-shaped tail compiled on real TPU: tuple-of-sub-planes sweep
     (accumulate_sorted_planes) + 3-bit packed readback with escapes."""
     k = 11
