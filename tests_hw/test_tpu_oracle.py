@@ -136,6 +136,9 @@ def test_sharded_merge_step_hw(rng, tmp_path):
     acc = step(acc, bits)
     v = ((dense >= 1) & (dense <= 255)).astype(np.int64)
     assert np.array_equal(np.asarray(acc), v @ v.T)
+
+
+def test_compiled_multiplane_and_packed_readback(rng, tmp_path, monkeypatch):
     """The K>=17-shaped tail compiled on real TPU: tuple-of-sub-planes sweep
     (accumulate_sorted_planes) + 3-bit packed readback with escapes."""
     k = 11
