@@ -826,11 +826,15 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
         unpack_base_2bit_mask,
     )
 
+    from ..ops.histogram import sort_codes_fast
+
     fold_size = 4**kmer_len // 2
     sort_dt = jnp.int32 if fold_size <= np.iinfo(np.int32).max else jnp.int64
 
     def tail(nk, codes):
-        sorted_codes = jnp.sort(codes.astype(sort_dt))
+        # unstable unsigned keys-only sort: 3.4x the stable signed sort on
+        # v5e, identical output (ops.histogram.sort_codes_fast)
+        sorted_codes = sort_codes_fast(codes.astype(sort_dt))
         nvalid = (codes < fold_size).sum(dtype=jnp.int64)
         return sorted_codes, nk + nvalid
 
@@ -1130,6 +1134,8 @@ def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
         unpack_base_2bit_mask,
     )
 
+    from ..ops.histogram import sort_codes_fast as fast_sort
+
     if masked:
 
         def encode_sort(bases2, maskbits):
@@ -1139,7 +1145,7 @@ def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
                 ),
                 kmer_len,
             )
-            return jnp.sort(codes)
+            return fast_sort(codes)
 
     else:
 
@@ -1148,7 +1154,7 @@ def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
                 canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
                 kmer_len,
             )
-            return jnp.sort(codes)
+            return fast_sort(codes)
 
     return jax.jit(encode_sort)
 

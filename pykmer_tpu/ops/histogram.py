@@ -28,6 +28,24 @@ import jax.numpy as jnp
 from ..config import MAX_VAL
 
 
+def sort_codes_fast(codes: jax.Array) -> jax.Array:
+    """Keys-only UNSTABLE sort via an unsigned bitcast.
+
+    Stability cannot change a keys-only sort's output, and every code domain
+    here is non-negative (canonical/folded codes, sentinels), so unsigned
+    order == signed order. Measured on v5e at 16.7M int32 codes: stable
+    jnp.sort 34.8 ms / unstable signed 17.3 / unstable unsigned 10.1 —
+    the 3.4x that took the sort off the device step's critical path (r3,
+    docs/ROUND_NOTES.md)."""
+    if codes.dtype == jnp.int32 or codes.dtype == jnp.int64:
+        uint_dt = jnp.uint32 if codes.dtype == jnp.int32 else jnp.uint64
+        u = jax.lax.bitcast_convert_type(codes, uint_dt)
+        return jax.lax.bitcast_convert_type(
+            jax.lax.sort(u, is_stable=False), codes.dtype
+        )
+    return jax.lax.sort(codes, is_stable=False)
+
+
 def saturating_accumulate(
     dense: jax.Array, codes: jax.Array, sentinel: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -36,7 +54,7 @@ def saturating_accumulate(
     dense: uint8[D]; codes: int[M] (values in [0, D] where D==sentinel marks
     dropped/padded windows). Returns (updated dense, number of valid codes).
     """
-    return saturating_accumulate_sorted(dense, jnp.sort(codes), sentinel)
+    return saturating_accumulate_sorted(dense, sort_codes_fast(codes), sentinel)
 
 
 def saturating_accumulate_sorted(

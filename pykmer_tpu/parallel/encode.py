@@ -7,6 +7,16 @@ context-parallel halo passing (the reference materialises whole chromosomes
 in one tuple instead, indexer.py:75-79). ``jax.lax.ppermute`` ships the halo
 left along the 'shards' ring; the last chip pads with invalid bases so its
 tail windows drop.
+
+Why the production indexers do NOT route through this: the host framer
+already hands each chunk its K−1 overlap bases inline (ops.encode
+chunk_stream), costing (K−1)/chunk_windows ≈ 0.0004%% extra upload at the
+default 4M-window chunks — an on-device ppermute would add a collective
+per step to save nothing measurable. This encoder is the right primitive
+only when sequences are BORN device-resident and resharding through the
+host is the thing being avoided (e.g. a device-side generative pipeline);
+it is kept compiled-path-tested (dryrun + tests/test_parallel.py) for that
+deployment shape.
 """
 
 from __future__ import annotations

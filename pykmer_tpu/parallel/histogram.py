@@ -40,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, SHARD_AXIS
 from ..ops.encode import canonical_codes, code_dtype, fold_codes
-from ..ops.histogram import saturating_accumulate
+from ..ops.histogram import saturating_accumulate, sort_codes_fast
 
 
 def interleaved_to_flat(shards: np.ndarray) -> np.ndarray:
@@ -155,7 +155,7 @@ def make_sharded_accumulate(
         local = (codes >> shard_bits).astype(local_dt)
         key = owner.astype(dt) * local_size + local
         key = jnp.where(valid, key, fold_size)
-        key = jnp.sort(key)
+        key = sort_codes_fast(key)  # unstable unsigned: 3.4x (ops.histogram)
 
         # bucket offsets via searchsorted on the S+1 bucket boundaries
         bounds = (jnp.arange(n_shards + 1, dtype=dt)) * local_size

@@ -101,6 +101,16 @@ def main() -> None:
     sorted_codes = sort_i32(codes_i32)
     sync(sorted_codes)
 
+    # the shipping sort (r3 default): unstable keys-only on the unsigned
+    # bitcast — stability cannot change a keys-only output, non-negative
+    # codes make unsigned order == signed order
+    from pykmer_tpu.ops.histogram import sort_codes_fast
+
+    sort_fast = jax.jit(sort_codes_fast)
+    t_sortu = timed_chain(sort_fast, codes_i32)
+    u_ok = bool(jnp.array_equal(sort_fast(codes_i32), sorted_codes))
+    print(f"unstable-u32 sort parity: {u_ok}", file=sys.stderr)
+
     @jax.jit
     def sort_f32_bitcast(c):
         # bias by 2^30 so every bitcast is a NORMAL positive float (TPU
@@ -190,14 +200,17 @@ def main() -> None:
     print(f"\n== device step, K={kmer_len}, {m:,} windows ==")
     print(f"encode+fold                  {t_enc * 1e3:8.1f} ms"
           f"  ({m / t_enc / 1e6:7.1f} M win/s)")
-    print(f"sort int32                   {t_sort * 1e3:8.1f} ms")
+    print(f"sort int32 (stable)          {t_sort * 1e3:8.1f} ms")
+    print(f"sort u32 unstable (DEFAULT)  {t_sortu * 1e3:8.1f} ms"
+          + ("" if u_ok else "  (PARITY FAILED — excluded)"))
     print(f"sort f32-bitcast             {t_sortf * 1e3:8.1f} ms"
           + ("" if f32_ok else "  (PARITY FAILED — excluded)"))
     print(f"sort key16+payload16         {t_sortk16 * 1e3:8.1f} ms"
           + ("  (tile-granular grouping)" if k16_ok
              else "  (PARITY FAILED)"))
     print(f"sort 16-segment              {t_sortseg * 1e3:8.1f} ms")
-    best_sort = min(t_sort, t_sortf)
+    best_sort = min(t_sort, t_sortf,
+                    t_sortu if u_ok else float('inf'))
     print()
     best_key, best_sweep = None, float("inf")
     for (tr, i8), t in sorted(results.items()):
