@@ -59,14 +59,30 @@ class IndexConfig:
             )
 
 
-def resolve_chunk_windows(config: "IndexConfig") -> "IndexConfig":
+def resolve_chunk_windows(
+    config: "IndexConfig", input_hint_bytes: Optional[int] = None
+) -> "IndexConfig":
     """Replace a ``chunk_windows=None`` placeholder with the backend default
-    (called once at each indexing entry point, before any framing)."""
+    (called once at each indexing entry point, before any framing).
+
+    ``input_hint_bytes`` (raw input file size, when known) clamps the
+    default DOWN to the next power of two covering the input: a tiny
+    fixture otherwise pads to the full 16M-window TPU chunk — >99.9%
+    sentinels sorted and swept per chunk, plus a fresh device-program
+    compile at a shape the input never needed. Explicit user values are
+    honoured as-is; power-of-two clamping keeps the compile-cache key set
+    small (one per octave, floor 2^16)."""
     if config.chunk_windows is not None:
         return config
     import jax
 
     cw = (1 << 24) if jax.default_backend() == "tpu" else (1 << 22)
+    if input_hint_bytes is not None and input_hint_bytes > 0:
+        # window count <= base count <= raw byte count
+        need = 1 << 16
+        while need < input_hint_bytes and need < cw:
+            need <<= 1
+        cw = min(cw, need)
     return dataclasses.replace(config, chunk_windows=cw)
 
 

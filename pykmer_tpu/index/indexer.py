@@ -430,10 +430,17 @@ def create_fasta_index(
     """
     from ..config import resolve_chunk_windows
 
-    config = resolve_chunk_windows(config or IndexConfig(kmer_len=kmer_len))
+    from_stdin = input_file is None or input_file == "-"
+    hint = None
+    if not from_stdin and os.path.exists(input_file):
+        hint = os.path.getsize(input_file)
+        if input_file.endswith((".gz", ".bgz")):
+            hint *= 4  # conservative decompression ratio for base data
+    config = resolve_chunk_windows(
+        config or IndexConfig(kmer_len=kmer_len), input_hint_bytes=hint
+    )
     assert config.kmer_len == kmer_len
 
-    from_stdin = input_file is None or input_file == "-"
     name_stem = sample_name if from_stdin else input_file
     input_file = None if from_stdin else input_file
 
