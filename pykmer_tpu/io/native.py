@@ -272,6 +272,29 @@ def unfold_canonical_range_native(
     )
 
 
+_lib.unfold_canonical_piece.restype = None
+_lib.unfold_canonical_piece.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+]
+
+
+def unfold_canonical_piece_native(
+    folded_piece: np.ndarray, primary: np.ndarray, mirror: np.ndarray,
+    kmer_len: int, g0: int, threads: int = 4,
+) -> None:
+    """Expand folded cells [g0, g0+n) into the two standalone region
+    buffers of the sharded multi-host writer (ops.readback.unfold_piece)."""
+    n = folded_piece.shape[0]
+    assert folded_piece.dtype == primary.dtype == mirror.dtype == np.uint8
+    assert primary.shape[0] == n and mirror.shape[0] == n
+    assert g0 + n <= 4**kmer_len // 2
+    _lib.unfold_canonical_piece(
+        folded_piece.ctypes.data, primary.ctypes.data, mirror.ctypes.data,
+        kmer_len, g0, n, threads,
+    )
+
+
 try:
     _lib.unpack_unfold_range.restype = ctypes.c_long
     _lib.unpack_unfold_range.argtypes = [

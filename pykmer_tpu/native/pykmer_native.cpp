@@ -696,6 +696,36 @@ void unfold_canonical_range(const uint8_t* folded_slice, uint8_t* out, int k,
   }
 }
 
+// Piece variant for the multi-host sharded writer: expand folded cells
+// [g0, g0 + n) into TWO standalone buffers — `primary` (belongs at file
+// offset g0) and `mirror` (belongs at 4^K - g0 - n) — so no host ever
+// materialises the full 4^K plane (index/multihost sharded write).
+void unfold_canonical_piece(const uint8_t* folded_piece, uint8_t* primary,
+                            uint8_t* mirror, int k, uint64_t g0, uint64_t n,
+                            int threads) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  if (threads < 1) threads = 1;
+  uint64_t per = (n + threads - 1) / threads;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    uint64_t lo = t * per, hi = std::min(n, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      for (uint64_t i = lo; i < hi; i++) {
+        uint64_t u = g0 + i;
+        uint8_t v = folded_piece[i];
+        bool canon = u <= rc_code(u, bits);
+        primary[i] = canon ? v : 0;
+        // u's mirror lands at file offset m - u; relative to the mirror
+        // buffer's base (4^K - g0 - n) that is index n - 1 - i
+        mirror[n - 1 - i] = canon ? 0 : v;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C" (template below needs C++ linkage)
 
 // Fused readback tail: one pass over a bit-packed folded-plane slice that

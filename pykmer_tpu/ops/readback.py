@@ -350,6 +350,15 @@ def unfold_piece(
     assert g0 + n <= size // 2
     primary = np.empty(n, dtype=np.uint8)
     mirror = np.empty(n, dtype=np.uint8)
+    try:
+        from ..io.native import unfold_canonical_piece_native
+
+        unfold_canonical_piece_native(
+            np.ascontiguousarray(folded_piece), primary, mirror, kmer_len, g0
+        )
+        return primary, mirror, size - g0 - n
+    except ImportError:
+        pass
     block = 1 << 22
     for blo in range(0, n, block):
         bhi = min(n, blo + block)
