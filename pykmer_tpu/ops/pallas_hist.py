@@ -309,7 +309,9 @@ def saturating_accumulate_tiled(
             " — K>=17 folded planes must use the XLA histogram path"
         )
     tile_rows = min(tile_rows, max(d // LANES, 1))
-    sorted_codes = jnp.sort(codes.astype(jnp.int32))
+    from .histogram import sort_codes_fast
+
+    sorted_codes = sort_codes_fast(codes.astype(jnp.int32))
     num_valid = (codes < sentinel).sum(dtype=jnp.int64)
     dense2d = dense.reshape(d // LANES, LANES)
     out = accumulate_sorted_pallas(

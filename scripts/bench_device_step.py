@@ -7,7 +7,7 @@ stage of the per-chunk step at realistic shape (default: K=15, 16.7M
 windows), sweeps the kernel variants, and prints a windows/s table plus an
 MFU estimate for the sweep.
 
-Stages (matching index.indexer._make_device_step):
+Stages (matching index.indexer._make_chunk_sorted_codes + _make_sweep_apply):
   encode : unpack 2-bit bases -> canonical codes -> fold
   sort   : jnp.sort of the folded codes (int32 / f32-bitcast variants)
   sweep  : Pallas tile sweep (bf16 / int8 MXU variants, tile_rows sweep)

@@ -134,3 +134,25 @@ def test_custom_frag_size_survives_reload(tmp_path):
     assert again.frag_size == 7
     # re-serialization must match the stored JSON, not a re-autotuned value
     assert again.to_dict()["frag_size"] == 7
+
+
+def test_resolve_chunk_windows_clamps_to_input():
+    """The DEFAULT chunk size clamps down to the input's scale (a tiny
+    fixture must not pad to a 16M-window chunk of sentinels); explicit
+    values are honoured as-is."""
+    from pykmer_tpu.config import IndexConfig, resolve_chunk_windows
+
+    base = resolve_chunk_windows(IndexConfig(kmer_len=5)).chunk_windows
+    assert base >= (1 << 22)
+    tiny = resolve_chunk_windows(
+        IndexConfig(kmer_len=5), input_hint_bytes=5_000).chunk_windows
+    assert tiny == 1 << 16
+    mid = resolve_chunk_windows(
+        IndexConfig(kmer_len=5), input_hint_bytes=100_000).chunk_windows
+    assert mid == 1 << 17
+    big = resolve_chunk_windows(
+        IndexConfig(kmer_len=5), input_hint_bytes=10**9).chunk_windows
+    assert big == base
+    explicit = resolve_chunk_windows(
+        IndexConfig(kmer_len=5, chunk_windows=1024), input_hint_bytes=10)
+    assert explicit.chunk_windows == 1024

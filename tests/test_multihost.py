@@ -172,6 +172,56 @@ def test_two_process_distributed_index(tmp_path, rng):
         assert got_meta[key] == want_meta[key], key
 
 
+def test_two_process_gz_input_window_slice(tmp_path, rng):
+    """Compressed inputs have no raw-byte random access, so the job falls
+    back to full-decode + window slicing — must still be byte-identical."""
+    import gzip
+    import os
+    import subprocess
+    import sys
+
+    from conftest import make_random_fasta
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = 5
+    os.makedirs(str(tmp_path / "a"))
+    fa1 = make_random_fasta(str(tmp_path / "a" / "gz.fa"), rng, n_records=3,
+                            lengths=(900, 400, 150))
+    gz1 = fa1 + ".gz"
+    with open(fa1, "rb") as src, gzip.open(gz1, "wb") as dst:
+        dst.write(src.read())
+    create_fasta_index(gz1, "mh", gz1, k,
+                       config=IndexConfig(kmer_len=k, chunk_windows=1 << 10),
+                       verbose=False)
+    with open(f"{gz1}.{k:02d}.kin", "rb") as fh:
+        want = fh.read()
+
+    gz2 = str(tmp_path / "b" / "gz.fa.gz")
+    os.makedirs(os.path.dirname(gz2))
+    with open(gz1, "rb") as src, open(gz2, "wb") as dst:
+        dst.write(src.read())
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
+        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "multihost_worker.py"),
+             str(pid), "2", str(port), gz2, str(k), str(1 << 10)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    with open(f"{gz2}.{k:02d}.kin", "rb") as fh:
+        assert fh.read() == want
+
+
 def test_two_process_crash_resume(tmp_path, rng):
     """Kill both workers right after their first per-host checkpoint, then
     re-launch: the job must resume from the checkpoints and produce the
