@@ -128,6 +128,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--level", type=int, default=6)
     p.add_argument("--delete", action="store_true", help="remove the source")
 
+    p = sub.add_parser(
+        "serve",
+        help="long-lived JSON-lines service (stdin->stdout): index/merge/"
+             "distance with device programs kept hot across jobs")
+    p.add_argument("--warmup-k", type=int, default=None,
+                   help="preload the index/readback programs for this K "
+                        "before accepting commands")
+
     return parser
 
 
@@ -256,6 +264,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"spearman (condensed): {rep['spearman']:.4f}")
             print(f"nearest-neighbour agreement: {rep['nn_agreement']:.2%}")
         return 0
+
+    if args.command == "serve":
+        from .serve import _handle, serve
+
+        if args.warmup_k is not None:
+            _handle({"cmd": "warmup", "kmer_len": args.warmup_k})
+        return serve()
 
     if args.command == "gzi":
         from .io.gzi import print_index
