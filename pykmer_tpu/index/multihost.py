@@ -163,17 +163,43 @@ def create_fasta_index_multihost(
 
     # --- 1. per-host decode ------------------------------------------------
     # plain files: each host reads + decodes only its record-aligned byte
-    # range (O(input/nproc) per host). Compressed inputs have no random
-    # access into the raw FASTA: every host decodes the whole stream and
-    # takes a disjoint window range with K−1 overlap (the r2 behaviour).
+    # range (O(input/nproc) per host). BGZF inputs (`.bgz`) split the same
+    # way in UNCOMPRESSED space via the GZI block index — each host
+    # inflates only its slice's blocks. Plain `.gz` has no block structure:
+    # every host decodes the whole stream and takes a disjoint window range
+    # with K−1 overlap (the r2 behaviour).
     raw: dict = {}
-    byte_split = nproc > 1 and not input_file.endswith((".gz", ".bgz"))
+    bgz_reader = None
+    if nproc > 1 and input_file.endswith(".bgz"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..io.bgzf import BgzfRangeReader
+
+        try:
+            bgz_reader = BgzfRangeReader(
+                input_file, pool=ThreadPoolExecutor(os.cpu_count() or 2)
+            )
+        except (IOError, OSError):
+            bgz_reader = None  # not actually BGZF: stream fallback
+    byte_split = nproc > 1 and (
+        bgz_reader is not None or not input_file.endswith((".gz", ".bgz"))
+    )
     if byte_split:
-        b_lo, b_hi = multihost.host_byte_slice(input_file, pid, nproc)
+        if bgz_reader is not None:
+            b_lo, b_hi = multihost.host_byte_slice_bgzf(bgz_reader, pid, nproc)
+        else:
+            b_lo, b_hi = multihost.host_byte_slice(input_file, pid, nproc)
         if b_hi > b_lo:
-            with open(input_file, "rb") as fh:
-                fh.seek(b_lo)
-                data = np.frombuffer(fh.read(b_hi - b_lo), dtype=np.uint8)
+            if bgz_reader is not None:
+                data = np.empty(b_hi - b_lo, dtype=np.uint8)
+                got = bgz_reader.read_into(data, b_lo)
+                assert got == b_hi - b_lo
+            else:
+                with open(input_file, "rb") as fh:
+                    fh.seek(b_lo)
+                    data = np.frombuffer(
+                        fh.read(b_hi - b_lo), dtype=np.uint8
+                    )
             from .indexer import _decode_joined_bytes
 
             local_stream, my_chroms, my_bp = _decode_joined_bytes(
@@ -182,6 +208,9 @@ def create_fasta_index_multihost(
             del data
         else:
             local_stream, my_chroms, my_bp = None, [], 0
+        if bgz_reader is not None:
+            bgz_reader.close()
+            bgz_reader.pool.shutdown(wait=False)
         # global record list / totals in pid order == file order
         gathered = multihost.allgather_small_json(
             {"chroms": [[n, int(s)] for n, s in my_chroms], "bp": my_bp}

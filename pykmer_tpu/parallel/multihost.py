@@ -57,6 +57,29 @@ def host_slice(total: int, process_id: int, num_processes: int) -> Tuple[int, in
     return start, min(start + per, total)
 
 
+def _record_boundary(read_at, total: int, target: int) -> int:
+    """First record start (a ``>`` preceded by ``\\n``) at or after
+    ``target`` in a ``total``-byte source accessed via ``read_at(off, n)``.
+    Deterministic given the content, so every host computes every boundary
+    identically."""
+    if target <= 0:
+        return 0
+    if target >= total:
+        return total
+    win = 8 << 20
+    pos = target - 1  # a '>' AT target needs its preceding newline
+    while pos < total - 1:
+        buf = read_at(pos, min(win, total - pos))
+        hits = np.flatnonzero(buf[1:] == ord(">"))
+        for h in hits:
+            if buf[h] == ord("\n"):
+                return pos + int(h) + 1
+        if pos + buf.shape[0] >= total:
+            break
+        pos += buf.shape[0] - 1
+    return total
+
+
 def host_byte_slice(
     path: str, process_id: int, num_processes: int
 ) -> Tuple[int, int]:
@@ -74,30 +97,42 @@ def host_byte_slice(
     size = os.path.getsize(path)
     if num_processes <= 1:
         return 0, size
+    with open(path, "rb") as fh:
 
-    def boundary(target: int) -> int:
-        if target <= 0:
-            return 0
-        if target >= size:
-            return size
-        win = 8 << 20
-        with open(path, "rb") as fh:
-            pos = target - 1  # a '>' AT target needs its preceding newline
-            while pos < size - 1:
-                fh.seek(pos)
-                buf = np.frombuffer(fh.read(min(win, size - pos)), np.uint8)
-                hits = np.flatnonzero(buf[1:] == ord(">"))
-                for h in hits:
-                    if buf[h] == ord("\n"):
-                        return pos + int(h) + 1
-                if pos + buf.shape[0] >= size:
-                    break
-                pos += buf.shape[0] - 1
-        return size
+        def read_at(off: int, n: int) -> np.ndarray:
+            fh.seek(off)
+            return np.frombuffer(fh.read(n), np.uint8)
 
-    per = size / num_processes
-    lo = boundary(int(per * process_id))
-    hi = boundary(int(per * (process_id + 1)))
+        per = size / num_processes
+        lo = _record_boundary(read_at, size, int(per * process_id))
+        hi = _record_boundary(read_at, size, int(per * (process_id + 1)))
+    return lo, hi
+
+
+def host_byte_slice_bgzf(
+    reader, process_id: int, num_processes: int
+) -> Tuple[int, int]:
+    """Record-aligned UNCOMPRESSED byte range of a BGZF FASTA.
+
+    ``reader`` is an io.bgzf.BgzfRangeReader: the GZI (or header-scan)
+    block index gives random access into the uncompressed stream, so
+    byte-range input splitting works for `.fa.bgz` inputs too — each host
+    inflates only the blocks covering its slice plus the boundary-scan
+    windows, instead of the r3-era full-decode fallback. (Plain `.gz` has
+    no block structure and keeps the fallback.)
+    """
+    total = reader.index.uncompressed_size
+    if num_processes <= 1:
+        return 0, total
+
+    def read_at(off: int, n: int) -> np.ndarray:
+        out = np.empty(n, dtype=np.uint8)
+        got = reader.read_into(out, off)
+        return out[:got]
+
+    per = total / num_processes
+    lo = _record_boundary(read_at, total, int(per * process_id))
+    hi = _record_boundary(read_at, total, int(per * (process_id + 1)))
     return lo, hi
 
 

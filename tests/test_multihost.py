@@ -172,6 +172,76 @@ def test_two_process_distributed_index(tmp_path, rng):
         assert got_meta[key] == want_meta[key], key
 
 
+def test_host_byte_slice_bgzf_matches_plain(tmp_path, rng):
+    """BGZF uncompressed-space slicing must agree exactly with plain-file
+    slicing of the same content (same deterministic boundary scan)."""
+    from conftest import make_random_fasta
+    from pykmer_tpu.io.bgzf import BgzfRangeReader, compress_file
+    from pykmer_tpu.parallel.multihost import (
+        host_byte_slice,
+        host_byte_slice_bgzf,
+    )
+
+    fa = make_random_fasta(str(tmp_path / "bz.fa"), rng, n_records=6,
+                           lengths=(800, 150, 600, 90, 400, 220))
+    bgz, _ = compress_file(fa)
+    r = BgzfRangeReader(bgz)
+    for nproc in (2, 3, 4):
+        for pid in range(nproc):
+            assert host_byte_slice_bgzf(r, pid, nproc) == \
+                host_byte_slice(fa, pid, nproc), (nproc, pid)
+    r.close()
+
+
+def test_two_process_bgz_input_byte_split(tmp_path, rng):
+    """A `.fa.bgz` input splits by UNCOMPRESSED byte range via the GZI
+    block index (each host inflates only its slice) — byte-identical to
+    the single-process build."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import make_random_fasta
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+    from pykmer_tpu.io.bgzf import compress_file
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = 5
+    os.makedirs(str(tmp_path / "a"))
+    fa1 = make_random_fasta(str(tmp_path / "a" / "bz.fa"), rng, n_records=3,
+                            lengths=(900, 400, 150))
+    bgz1, _ = compress_file(fa1, fa1 + ".bgz")
+    create_fasta_index(bgz1, "mh", bgz1, k,
+                       config=IndexConfig(kmer_len=k, chunk_windows=1 << 10),
+                       verbose=False)
+    with open(f"{bgz1}.{k:02d}.kin", "rb") as fh:
+        want = fh.read()
+
+    bgz2 = str(tmp_path / "b" / "bz.fa.bgz")
+    os.makedirs(os.path.dirname(bgz2))
+    with open(bgz1, "rb") as src, open(bgz2, "wb") as dst:
+        dst.write(src.read())
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
+        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "multihost_worker.py"),
+             str(pid), "2", str(port), bgz2, str(k), str(1 << 10)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    with open(f"{bgz2}.{k:02d}.kin", "rb") as fh:
+        assert fh.read() == want
+
+
 def test_two_process_gz_input_window_slice(tmp_path, rng):
     """Compressed inputs have no raw-byte random access, so the job falls
     back to full-decode + window slicing — must still be byte-identical."""
