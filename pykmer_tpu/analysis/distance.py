@@ -35,15 +35,21 @@ def get_matrix(matrix_file: str) -> np.ndarray:
     return npz["matrix"]
 
 
-def calc_distance(
-    matrix_file: str, matrix: np.ndarray, fill_diagonal: bool = True
-) -> Tuple[str, np.ndarray]:
-    """Jaccard distance matrix; returns (basefile, dist) and saves the npz."""
+def _jaccard(matrix: np.ndarray, fill_diagonal: bool = True) -> np.ndarray:
+    """dist = 1 - shared/(total - shared) (calculate_distance.py:82-97)."""
     shared = matrix[:, :, 2].astype(np.float64)
     total = matrix[:, :, 0:2].sum(axis=2).astype(np.float64)
     dist = 1.0 - (shared / (total - shared))
     if fill_diagonal:
         np.fill_diagonal(dist, 0.0)
+    return dist
+
+
+def calc_distance(
+    matrix_file: str, matrix: np.ndarray, fill_diagonal: bool = True
+) -> Tuple[str, np.ndarray]:
+    """Jaccard distance matrix; returns (basefile, dist) and saves the npz."""
+    dist = _jaccard(matrix, fill_diagonal)
 
     basefile = f"{matrix_file}.dist.jaccard"
     with open(f"{basefile}.npz", "wb") as fh:
@@ -55,11 +61,7 @@ def jaccard_from_kma(matrix_file: str) -> Tuple[np.ndarray, list]:
     """(Jaccard distance matrix, sample ids) of a `.kma` — the in-memory
     form of :func:`calc_distance` without writing the npz (used by the kwip
     cross-validation comparison)."""
-    matrix = get_matrix(matrix_file)
-    shared = matrix[:, :, 2].astype(np.float64)
-    total = matrix[:, :, 0:2].sum(axis=2).astype(np.float64)
-    dist = 1.0 - (shared / (total - shared))
-    np.fill_diagonal(dist, 0.0)
+    dist = _jaccard(get_matrix(matrix_file))
     _, ids = sample_ids_from_kma_json(matrix_file)
     return dist, ids
 

@@ -127,9 +127,21 @@ def compare_with_kma(dist_file: str, kma_file: str) -> dict:
         return float((u * v).sum() / denom) if denom else float("nan")
 
     def rank(u):
+        # average ranks for ties (standard Spearman; plain argsort ranks
+        # would make the statistic depend on sample order when distances
+        # tie, e.g. multiple pairs saturating at 1.0)
         order = np.argsort(u, kind="stable")
-        r = np.empty_like(order, dtype=np.float64)
-        r[order] = np.arange(u.shape[0])
+        su = u[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], su[1:] != su[:-1]])
+        )
+        ends = np.append(starts[1:], su.shape[0])
+        mean_rank = (starts + ends - 1) / 2.0
+        group_of = np.cumsum(
+            np.concatenate([[False], su[1:] != su[:-1]])
+        )
+        r = np.empty(u.shape[0], dtype=np.float64)
+        r[order] = mean_rank[group_of]
         return r
 
     # nearest-neighbour agreement (diagonal excluded)

@@ -175,12 +175,12 @@ def create_fasta_index_multihost(
 
         from ..io.bgzf import BgzfRangeReader
 
+        inflate_pool = ThreadPoolExecutor(os.cpu_count() or 2)
         try:
-            bgz_reader = BgzfRangeReader(
-                input_file, pool=ThreadPoolExecutor(os.cpu_count() or 2)
-            )
+            bgz_reader = BgzfRangeReader(input_file, pool=inflate_pool)
         except (IOError, OSError):
             bgz_reader = None  # not actually BGZF: stream fallback
+            inflate_pool.shutdown(wait=False)
     byte_split = nproc > 1 and (
         bgz_reader is not None or not input_file.endswith((".gz", ".bgz"))
     )
@@ -302,11 +302,17 @@ def create_fasta_index_multihost(
             start_step = int(ck["next_step"])
             import jax.numpy as jnp
 
-            dense0, _, _ = init_fn()
+            dense0, nk0, maxb0 = init_fn()
+            sharding = dense0.sharding
+            del dense0, nk0, maxb0  # only the sharding is needed: a full
+            # zero plane held through the accumulate would double the
+            # plane footprint exactly on the resume path
             state = (
-                jax.device_put(shards_np, dense0.sharding),
+                jax.device_put(shards_np, sharding),
                 jnp.asarray(int(ck["num_kmers"]), dtype=jnp.int64),
-                jnp.zeros((), dtype=jnp.int32),
+                # restore the bucket high-water mark: overflow BEFORE the
+                # checkpoint must still fail the post-run capacity check
+                jnp.asarray(int(ck.get("max_bucket", 0)), dtype=jnp.int32),
             )
             if verbose:
                 print(f"  [{pid}] resuming from checkpoint step {start_step}")
@@ -314,6 +320,11 @@ def create_fasta_index_multihost(
             if verbose:
                 print(f"  [{pid}] stale checkpoint ignored")
             multihost.clear_shard_checkpoint(ckpt_key)
+            if is_main and my_ckpt is not None:
+                # the fresh-build output cleanup was skipped at entry only
+                # because a checkpoint existed; a stale one means this IS a
+                # fresh build (overwrite guard + stale tmp removal apply)
+                kinfmt.remove_outputs(input_file, kmer_len, overwrite)
     if state is None:
         state = init_fn()
     if local_stream is not None and local_stream.shape[0] >= kmer_len:
@@ -333,6 +344,7 @@ def create_fasta_index_multihost(
                 multihost.save_shard_checkpoint(
                     ckpt_key, np.asarray(state[0]), next_step=s + 1,
                     num_kmers=int(state[1]), meta=ck_meta,
+                    max_bucket=int(state[2]),
                 )
         del padded
     dense, nk_dev, maxb_dev = state

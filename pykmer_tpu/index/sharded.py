@@ -110,11 +110,16 @@ def create_fasta_index_sharded(
             import jax
             import jax.numpy as jnp
 
-            dense0, _, _ = init_fn()
+            dense0, nk0, maxb0 = init_fn()
+            sharding = dense0.sharding
+            del dense0, nk0, maxb0  # only the sharding is needed (a zero
+            # plane held through the accumulate doubles the footprint)
             state = (
-                jax.device_put(shards_np, dense0.sharding),
+                jax.device_put(shards_np, sharding),
                 jnp.asarray(int(ck["num_kmers"]), dtype=jnp.int64),
-                jnp.zeros((), dtype=jnp.int32),
+                # restore the bucket high-water mark so pre-checkpoint
+                # overflow still fails the post-run capacity check
+                jnp.asarray(int(ck.get("max_bucket", 0)), dtype=jnp.int32),
             )
             if verbose:
                 print(f"  resuming from checkpoint at step {start_step}/{n_steps}")
@@ -143,7 +148,7 @@ def create_fasta_index_sharded(
             if checkpoint_every and (s + 1) % checkpoint_every == 0 and s + 1 < n_steps:
                 multihost.save_shard_checkpoint(
                     tmp, np.asarray(state[0]), next_step=s + 1,
-                    num_kmers=int(state[1]),
+                    num_kmers=int(state[1]), max_bucket=int(state[2]),
                     meta={
                         "kmer_len": kmer_len,
                         "chunk_windows": config.chunk_windows,

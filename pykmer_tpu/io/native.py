@@ -272,11 +272,15 @@ def unfold_canonical_range_native(
     )
 
 
-_lib.unfold_canonical_piece.restype = None
-_lib.unfold_canonical_piece.argtypes = [
-    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
-    ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
-]
+try:
+    _lib.unfold_canonical_piece.restype = None
+    _lib.unfold_canonical_piece.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int,
+    ]
+    _HAVE_PIECE_UNFOLD = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_PIECE_UNFOLD = False
 
 
 def unfold_canonical_piece_native(
@@ -285,6 +289,8 @@ def unfold_canonical_piece_native(
 ) -> None:
     """Expand folded cells [g0, g0+n) into the two standalone region
     buffers of the sharded multi-host writer (ops.readback.unfold_piece)."""
+    if not _HAVE_PIECE_UNFOLD:  # stale .so: callers fall back to numpy
+        raise ImportError("libpykmer_native.so lacks unfold_canonical_piece")
     n = folded_piece.shape[0]
     assert folded_piece.dtype == primary.dtype == mirror.dtype == np.uint8
     assert primary.shape[0] == n and mirror.shape[0] == n

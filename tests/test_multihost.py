@@ -41,7 +41,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     tmp = str(tmp_path / "x.fa.05.kin.tmp")
     dense = rng.integers(0, 256, size=(4, 256)).astype(np.uint8)
     save_shard_checkpoint(tmp, dense, next_step=7, num_kmers=12345,
-                          meta={"kmer_len": 5})
+                          meta={"kmer_len": 5}, max_bucket=99)
     loaded = load_shard_checkpoint(tmp)
     assert loaded is not None
     got, state = loaded
@@ -49,8 +49,40 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert state["next_step"] == 7
     assert state["num_kmers"] == 12345
     assert state["kmer_len"] == 5
+    assert state["max_bucket"] == 99  # overflow high-water mark persists
     clear_shard_checkpoint(tmp)
     assert load_shard_checkpoint(tmp) is None
+
+
+def test_checkpoint_crash_window_is_atomic(tmp_path, rng):
+    """A crash between the dense write and the state commit must leave the
+    PREVIOUS (state, dense) pair intact: state.json names its dense file,
+    so an orphaned newer plane is simply ignored (the old two-rename
+    scheme could pair a new plane with an old cursor and double-count on
+    resume)."""
+    import os
+
+    tmp = str(tmp_path / "y.fa.05.kin.tmp")
+    dense3 = rng.integers(0, 256, size=(4, 64)).astype(np.uint8)
+    save_shard_checkpoint(tmp, dense3, next_step=3, num_kmers=30,
+                          meta={}, max_bucket=1)
+    # simulate a crashed later save: the step-9 plane landed, the state
+    # commit did not
+    orphan = rng.integers(0, 256, size=(4, 64)).astype(np.uint8)
+    d = tmp + ".ckpt"
+    with open(os.path.join(d, "dense.9.npy"), "wb") as fh:
+        np.save(fh, orphan, allow_pickle=False)
+    got, state = load_shard_checkpoint(tmp)
+    assert state["next_step"] == 3
+    assert np.array_equal(got, dense3)
+    # a SUCCESSFUL later save prunes superseded planes
+    save_shard_checkpoint(tmp, orphan, next_step=9, num_kmers=90, meta={})
+    names = sorted(n for n in os.listdir(d) if n.endswith(".npy"))
+    assert names == ["dense.9.npy"]
+    got, state = load_shard_checkpoint(tmp)
+    assert state["next_step"] == 9
+    assert np.array_equal(got, orphan)
+    clear_shard_checkpoint(tmp)
 
 
 def _free_port():
