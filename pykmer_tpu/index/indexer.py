@@ -828,6 +828,7 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
 
     from ..ops.encode import (
         canonical_codes,
+        canonical_codes_packed,
         fold_codes,
         unpack_base_2bit,
         unpack_base_2bit_mask,
@@ -837,6 +838,10 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
 
     fold_size = 4**kmer_len // 2
     sort_dt = jnp.int32 if fold_size <= np.iinfo(np.int32).max else jnp.int64
+    # K <= 15: bit-field encoder straight off the packed planes (~26 u32
+    # ops/window vs the K shifted slices; bit-exact, tested). K >= 17
+    # keeps the slice encoder (2K-bit fields stop fitting u32 pairs).
+    packed_encode = kmer_len <= 15
 
     def tail(nk, codes):
         # unstable unsigned keys-only sort: 3.4x the stable signed sort on
@@ -850,22 +855,31 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
         def step(nk, bases2, maskbits):
             # chunks arrive as 2-bit bases + validity bitmap (0.375 B/base
             # of upload); the unpack fuses into the encode
-            codes = fold_codes(
-                canonical_codes(
-                    unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
-                ),
-                kmer_len,
-            )
+            if packed_encode:
+                codes = canonical_codes_packed(
+                    bases2, maskbits, span, kmer_len
+                )
+            else:
+                codes = fold_codes(
+                    canonical_codes(
+                        unpack_base_2bit_mask(bases2, maskbits, span),
+                        kmer_len,
+                    ),
+                    kmer_len,
+                )
             return tail(nk, codes)
 
     else:
 
         def step(nk, bases2):
             # all-valid chunk: 0.25 B/base of upload, no mask
-            codes = fold_codes(
-                canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
-                kmer_len,
-            )
+            if packed_encode:
+                codes = canonical_codes_packed(bases2, None, span, kmer_len)
+            else:
+                codes = fold_codes(
+                    canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
+                    kmer_len,
+                )
             return tail(nk, codes)
 
     return jax.jit(step, donate_argnums=(0,))

@@ -82,6 +82,120 @@ def fold_codes(codes: jax.Array, kmer_len: int) -> jax.Array:
     return jnp.where(codes > m, half, folded)
 
 
+def _swizzle_2bit_bytes(b: "jax.Array") -> "jax.Array":
+    """Reverse the four 2-bit groups of every byte (little-endian per-byte
+    packing → big-endian bit-stream order)."""
+    b = b.astype(jnp.uint32)
+    return (
+        ((b & 0x03) << 6) | ((b & 0x0C) << 2)
+        | ((b & 0x30) >> 2) | ((b & 0xC0) >> 6)
+    ).astype(jnp.uint32)
+
+
+def _bitrev_bytes(b: "jax.Array") -> "jax.Array":
+    """Reverse the bits of every byte (validity bit-plane to stream order)."""
+    b = b.astype(jnp.uint32)
+    b = ((b & 0xF0) >> 4) | ((b & 0x0F) << 4)
+    b = ((b & 0xCC) >> 2) | ((b & 0x33) << 2)
+    b = ((b & 0xAA) >> 1) | ((b & 0x55) << 1)
+    return b
+
+
+def _words_from_bytes(by: "jax.Array", pad_words: int) -> "jax.Array":
+    """Big-endian uint32 words from a byte stream (padded, +pad_words 0s)."""
+    n = by.shape[0]
+    rem = (-n) % 4
+    if rem:
+        by = jnp.concatenate([by, jnp.zeros((rem,), by.dtype)])
+    w = by.reshape(-1, 4).astype(jnp.uint32)
+    words = (w[:, 0] << 24) | (w[:, 1] << 16) | (w[:, 2] << 8) | w[:, 3]
+    return jnp.concatenate(
+        [words, jnp.zeros((pad_words,), jnp.uint32)]
+    )
+
+
+def _revgroup_u32(x: "jax.Array") -> "jax.Array":
+    """Reverse the sixteen 2-bit groups of each uint32 (butterfly)."""
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return ((x & 0x0000FFFF) << 16) | (x >> 16)
+
+
+def canonical_codes_packed(
+    bases2: "jax.Array",
+    maskbits: "Optional[jax.Array]",
+    span: int,
+    kmer_len: int,
+) -> "jax.Array":
+    """Folded canonical codes straight from the PACKED upload planes.
+
+    The shifted-slice encoder (:func:`canonical_codes`) materialises K
+    full-size int32 slices (~45 VPU ops + ~15 HBM passes per window at
+    K=15). This formulation keeps the chunk as a big-endian bit stream and
+    extracts each window's 2K-bit field with two uint32 words and a shift
+    (~6 ops), derives the reverse complement in-register via a 2-bit-group
+    reversal butterfly + complement (~12 ops, no second stream), and tests
+    validity as one K-bit field compare — ~26 uint32 ops per window total.
+    K <= 15 only (2K + alignment slack must fit 32 bits); bit-exact vs the
+    slice encoder + fold (tested), including N/separator/padding windows
+    folding to the sentinel.
+    """
+    k = kmer_len
+    assert k <= 15, "packed encoder extracts 2K-bit fields from u32 pairs"
+    m = span - k + 1
+    assert m > 0
+    mask2k = jnp.uint32((1 << (2 * k)) - 1)
+    top = jnp.uint32(32 - 2 * k)
+
+    # --- forward codes: window i = bits [2i, 2i+2K) of the stream --------
+    words = _words_from_bytes(_swizzle_2bit_bytes(bases2).astype(jnp.uint8),
+                              pad_words=2)
+    n_groups = (m + 15) // 16
+    lo = words[:n_groups][:, None]                      # [G, 1]
+    hi = words[1 : n_groups + 1][:, None]
+    sh = (2 * jnp.arange(16, dtype=jnp.uint32))[None, :]  # [1, 16]
+    # A = 32-bit window at bit offset 2i (t = i mod 16); t == 0 needs no
+    # hi bits and a << 32 is undefined — select it away
+    a = jnp.where(
+        sh == 0, lo, (lo << sh) | (hi >> (jnp.uint32(32) - sh))
+    )
+    fwd = (a >> top).reshape(-1)[:m] & mask2k
+
+    # --- reverse complement in-register ----------------------------------
+    # top-align the 2K bits and reverse all 16 groups: the window's groups
+    # land at the LOW end in reversed order (b_p now weighted 4^p), then
+    # complement within the mask
+    r = _revgroup_u32(fwd << top)
+    rev = (~r) & mask2k
+
+    canon = jnp.minimum(fwd, rev)
+    folded_dt = code_dtype(k)
+    mm = jnp.asarray(4**k - 1, jnp.uint32)
+    half = 4**k // 2
+    folded = jnp.minimum(canon, mm - canon)
+
+    if maskbits is None:
+        return folded.astype(folded_dt)
+
+    # --- validity: window i valid iff its K mask bits are all set --------
+    vwords = _words_from_bytes(_bitrev_bytes(maskbits).astype(jnp.uint8),
+                               pad_words=2)
+    vg = (m + 31) // 32
+    vlo = vwords[:vg][:, None]
+    vhi = vwords[1 : vg + 1][:, None]
+    vsh = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    va = jnp.where(
+        vsh == 0, vlo, (vlo << vsh) | (vhi >> (jnp.uint32(32) - vsh))
+    )
+    want = jnp.uint32((1 << k) - 1)
+    valid = ((va >> jnp.uint32(32 - k)) & want) == want
+    valid = valid.reshape(-1)[:m]
+    return jnp.where(
+        valid, folded.astype(folded_dt), jnp.asarray(half, folded_dt)
+    )
+
+
 def make_canonical_codes_fn(
     kmer_len: int, chunk_windows: int
 ) -> Callable[[jax.Array], jax.Array]:

@@ -304,3 +304,49 @@ def test_stream_dense_to_out_with_predispatched_escapes(rng):
     )
     assert np.array_equal(out, expect)
     assert np.array_equal(counts, fast_counts256(folded_np))
+
+
+@pytest.mark.parametrize("kmer_len", [3, 7, 11, 15])
+def test_packed_encoder_matches_slice_encoder(rng, kmer_len):
+    """The bit-field packed encoder must be bit-exact vs unpack + slice
+    encode + fold, including N/separator/padding windows -> sentinel."""
+    from pykmer_tpu.ops.encode import (
+        canonical_codes,
+        canonical_codes_packed,
+        fold_codes,
+        pack_base_stream,
+        unpack_base_2bit,
+        unpack_base_2bit_mask,
+    )
+
+    span = 3000 + kmer_len - 1
+    seq = rng.integers(0, 4, size=span).astype(np.uint8)
+    # Ns, separators, and a run shorter than K
+    seq[100:110] = 4
+    seq[500] = 4
+    seq[502] = 4
+    seq[-3:] = 4
+    bases2, maskbits = pack_base_stream(seq)
+    want = fold_codes(
+        canonical_codes(
+            unpack_base_2bit_mask(
+                jnp.asarray(bases2), jnp.asarray(maskbits), span
+            ),
+            kmer_len,
+        ),
+        kmer_len,
+    )
+    got = canonical_codes_packed(
+        jnp.asarray(bases2), jnp.asarray(maskbits), span, kmer_len
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+    # all-valid variant
+    seq2 = rng.integers(0, 4, size=span).astype(np.uint8)
+    b2, _ = pack_base_stream(seq2)
+    want2 = fold_codes(
+        canonical_codes(unpack_base_2bit(jnp.asarray(b2), span), kmer_len),
+        kmer_len,
+    )
+    got2 = canonical_codes_packed(jnp.asarray(b2), None, span, kmer_len)
+    assert np.array_equal(np.asarray(got2), np.asarray(want2))
