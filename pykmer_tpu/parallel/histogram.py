@@ -140,13 +140,20 @@ def make_sharded_accumulate(
     # keep the code dtype until after the owner split to stay exact
     local_dt = jnp.int32 if local_size <= 2**31 - 1 else jnp.int64
 
-    from ..ops.encode import unpack_base_2bit_mask
+    from ..ops.encode import canonical_codes_packed, unpack_base_2bit_mask
 
     def per_chip(dense_local, nk_in, maxb_in, bases_row, mask_row):
         # dense_local: [1, local_size]; bases_row/mask_row: the chip's
-        # bit-packed chunk (see shard_batch_chunks_packed), decoded on-chip
-        chunk = unpack_base_2bit_mask(bases_row[0], mask_row[0], span)
-        codes = fold_codes(canonical_codes(chunk, kmer_len), kmer_len)
+        # bit-packed chunk (see shard_batch_chunks_packed), decoded on-chip.
+        # K <= 15 uses the bit-field packed encoder (9.4 -> 0.2 ms per 16.7M
+        # windows, bit-exact — ops.encode.canonical_codes_packed)
+        if kmer_len <= 15:
+            codes = canonical_codes_packed(
+                bases_row[0], mask_row[0], span, kmer_len
+            )
+        else:
+            chunk = unpack_base_2bit_mask(bases_row[0], mask_row[0], span)
+            codes = fold_codes(canonical_codes(chunk, kmer_len), kmer_len)
         valid = codes < fold_size
         num_valid = valid.sum(dtype=jnp.int64)
 
