@@ -1155,26 +1155,38 @@ def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
         unpack_base_2bit_mask,
     )
 
+    from ..ops.encode import canonical_codes_packed
     from ..ops.histogram import sort_codes_fast as fast_sort
+
+    packed_encode = kmer_len <= 15  # same gate as _make_chunk_sorted_codes
 
     if masked:
 
         def encode_sort(bases2, maskbits):
-            codes = fold_codes(
-                canonical_codes(
-                    unpack_base_2bit_mask(bases2, maskbits, span), kmer_len
-                ),
-                kmer_len,
-            )
+            if packed_encode:
+                codes = canonical_codes_packed(
+                    bases2, maskbits, span, kmer_len
+                )
+            else:
+                codes = fold_codes(
+                    canonical_codes(
+                        unpack_base_2bit_mask(bases2, maskbits, span),
+                        kmer_len,
+                    ),
+                    kmer_len,
+                )
             return fast_sort(codes)
 
     else:
 
         def encode_sort(bases2):
-            codes = fold_codes(
-                canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
-                kmer_len,
-            )
+            if packed_encode:
+                codes = canonical_codes_packed(bases2, None, span, kmer_len)
+            else:
+                codes = fold_codes(
+                    canonical_codes(unpack_base_2bit(bases2, span), kmer_len),
+                    kmer_len,
+                )
             return fast_sort(codes)
 
     return jax.jit(encode_sort)

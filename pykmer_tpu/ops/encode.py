@@ -17,7 +17,7 @@ the polynomial weights are powers of 4 applied per-slice).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
