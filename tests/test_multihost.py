@@ -324,6 +324,57 @@ def test_two_process_gz_input_window_slice(tmp_path, rng):
         assert fh.read() == want
 
 
+def test_three_process_uneven_records(tmp_path, rng):
+    """3 processes over 2 records: at least one host's byte range holds no
+    record at all — its empty partial must still combine and the output
+    stay byte-identical."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from conftest import make_random_fasta
+    from pykmer_tpu.config import IndexConfig
+    from pykmer_tpu.index import create_fasta_index
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = 5
+    os.makedirs(str(tmp_path / "a"))
+    fa1 = make_random_fasta(str(tmp_path / "a" / "u3.fa"), rng, n_records=2,
+                            lengths=(1200, 90))
+    create_fasta_index(fa1, "mh", fa1, k,
+                       config=IndexConfig(kmer_len=k, chunk_windows=1 << 10),
+                       verbose=False)
+    with open(f"{fa1}.{k:02d}.kin", "rb") as fh:
+        want = fh.read()
+    fa2 = str(tmp_path / "b" / "u3.fa")
+    os.makedirs(os.path.dirname(fa2))
+    with open(fa1, "rb") as src, open(fa2, "wb") as dst:
+        dst.write(src.read())
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
+        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "multihost_worker.py"),
+             str(pid), "3", str(port), fa2, str(k), str(1 << 10)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(3)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    with open(f"{fa2}.{k:02d}.kin", "rb") as fh:
+        assert fh.read() == want
+    meta1 = json.load(open(f"{fa1}.{k:02d}.kin.json"))
+    meta2 = json.load(open(f"{fa2}.{k:02d}.kin.json"))
+    for key in ("hist", "num_kmers", "chromosomes", "output_file_cheksum"):
+        assert meta1[key] == meta2[key], key
+
+
 def test_two_process_crash_resume(tmp_path, rng):
     """Kill both workers right after their first per-host checkpoint, then
     re-launch: the job must resume from the checkpoints and produce the
