@@ -960,16 +960,16 @@ def preload_index_programs(kmer_len: int, config: Optional[IndexConfig] = None):
     step_a = _make_chunk_sorted_codes(kmer_len, span)
     step_a_av = _make_chunk_sorted_codes(kmer_len, span, masked=False)
     step_b = _make_sweep_apply(kmer_len, variant, n_planes=n_planes)
+    from ..ops.pallas_hist import dense_plane_shape
+
     if n_planes > 1:
         per = fold_size // n_planes
         dense = tuple(
-            jnp.zeros((per // 128, 128), dtype=jnp.uint8)
+            jnp.zeros(dense_plane_shape(per), dtype=jnp.uint8)
             for _ in range(n_planes)
         )
     else:
-        shape = (fold_size // 128, 128) if fold_size % 128 == 0 \
-            else (fold_size,)
-        dense = jnp.zeros(shape, dtype=jnp.uint8)
+        dense = jnp.zeros(dense_plane_shape(fold_size), dtype=jnp.uint8)
     nk = jnp.zeros((), dtype=jnp.int64)
     bases = jnp.zeros(((span + 3) // 4,), dtype=jnp.uint8)
     mask = jnp.zeros(((span + 7) // 8,), dtype=jnp.uint8)
@@ -1018,15 +1018,19 @@ def _accumulate_device(
 
     stages = stages or StageTimer()
     with stages.stage("dense init"):
+        from ..ops.pallas_hist import dense_plane_shape
+
         if n_planes > 1:
             per = fold_size // n_planes
             dense = tuple(
-                jnp.zeros((per // 128, 128), dtype=jnp.uint8)
+                jnp.zeros(dense_plane_shape(per), dtype=jnp.uint8)
                 for _ in range(n_planes)
             )
         else:
-            shape = (fold_size // 128, 128) if two_d else (fold_size,)
-            dense = jnp.zeros(shape, dtype=jnp.uint8)
+            dense = jnp.zeros(
+                dense_plane_shape(fold_size) if two_d else (fold_size,),
+                dtype=jnp.uint8,
+            )
         nk = jnp.zeros((), dtype=jnp.int64)
 
     timing = bool(os.environ.get("PYKMER_TPU_STAGE_TIMING"))

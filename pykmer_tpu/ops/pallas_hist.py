@@ -27,7 +27,7 @@ Cost: O(batch · 128) VPU compares + O(batch · TILE_ROWS · 128 / B) MXU MACs
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,14 +35,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
-# MXU cost per update is ~2*TILE_ROWS*128 MACs (the row one-hot spans the
+LANES = 128  # minimum/VPU-native lane count; planes may carry 2x/4x lanes
+# MXU cost per update is ~2*TILE_CELLS MACs (the row one-hot spans the
 # whole tile), so smaller tiles directly cut compute, traded against
 # per-tile grid overhead. Measured on v5e at 16.7M codes over a 2^29-cell
-# folded plane (double-buffered block DMA): rows 2048/1024/512/256/128 →
-# 66/45/36/42/66 ms. block < 1024 fails to compile (dynamic VMEM slices
-# must align to the (1024,) int32 tile); block 2048 is ~2 ms slower.
-DEFAULT_TILE_ROWS = 512
+# folded plane (double-buffered block DMA, 128-lane rows):
+# 2048/1024/512/256/128 rows → 66/45/36/42/66 ms; block < 1024 fails to
+# compile (dynamic VMEM slices must align to the (1024,) int32 tile);
+# block 2048 is ~2 ms slower. The per-tile CELL count stays 2^16 across
+# lane widths; wide-lane planes ([R/4, 512]) build the same one-hots over
+# more lanes / fewer sublanes, which the VPU runs ~10%% faster (r3 probe:
+# 3.16 vs 2.86 ns/update at 512x128 vs 128x512).
+DEFAULT_TILE_CELLS = 1 << 16
+DEFAULT_TILE_ROWS = 512  # legacy alias: rows at 128 lanes
 DEFAULT_BLOCK = 1024
 # Largest sub-plane the int32-indexed sweep kernel addresses. Count spaces
 # beyond it (K >= 17: 2^33 folded cells) are carried as a tuple of
@@ -53,10 +58,11 @@ MAX_SWEEP_CELLS = 1 << 30
 
 def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
             acc_ref, codes_buf, sems, *, tile_rows: int, block: int,
-            int8_mxu: bool = False):
+            lanes: int = LANES, int8_mxu: bool = False):
     t = pl.program_id(0)
     start = offs_ref[t]
     end = offs_ref[t + 1]
+    lane_bits = int(lanes).bit_length() - 1
 
     # Mosaic requires dynamic VMEM slices aligned to the (1024,) int32
     # tiling, so update blocks are `block`-aligned windows around the tile's
@@ -65,7 +71,7 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
     # overhang needs no masking.
     a_start = start & jnp.int32(~(block - 1))
     n_blocks = pl.cdiv(end - a_start, jnp.int32(block))
-    tile_base = t * (tile_rows * LANES)
+    tile_base = t * (tile_rows * lanes)
     fdt = jnp.int8 if int8_mxu else jnp.bfloat16
     adt = jnp.int32 if int8_mxu else jnp.float32
 
@@ -107,15 +113,15 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
         with the MXU matmul cost 44.6 vs 31.4 ms — scratch traffic beats
         any overlap the scheduler finds. docs/ROUND_NOTES.md.)"""
         local = c - tile_base
-        row = local >> 7
-        col = local & (LANES - 1)
+        row = local >> lane_bits
+        col = local & (lanes - 1)
         oh_row_t = (
             row[None, :]
             == jax.lax.broadcasted_iota(jnp.int32, (tile_rows, block), 0)
         ).astype(fdt)
         oh_col = (
             col[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (block, LANES), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (block, lanes), 1)
         ).astype(fdt)
         return oh_row_t, oh_col
 
@@ -155,17 +161,37 @@ def _kernel(offs_ref, codes_ref, dense_in_ref, dense_out_ref,
         dense_out_ref[...] = dense_in_ref[...]
 
 
+def dense_plane_shape(cells: int):
+    """Preferred on-device layout of a dense (sub-)plane of ``cells``.
+
+    128 lanes: a standalone one-hot probe suggested wide-lane tiles
+    (128 rows x 512 lanes) would be ~10% faster, but the FULL kernel
+    measured 35.1 vs 31.9 ms at K=15 on v5e — the DMA/accumulator
+    machinery eats the VPU layout win, so 128 stays the default. The
+    sweep itself accepts any power-of-two lane multiple of 128 (tested
+    through the readback chase at 512), so revisiting costs one line."""
+    if cells % 128 == 0:
+        return (cells // 128, 128)
+    return (cells,)
+
+
 def accumulate_sorted_pallas(
     dense2d: jax.Array,
     sorted_codes: jax.Array,
-    tile_rows: int = DEFAULT_TILE_ROWS,
+    tile_rows: Optional[int] = None,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
     int8_mxu: bool = False,
 ) -> jax.Array:
-    """Apply sorted int32 codes to dense2d [R, 128] uint8 (R % tile_rows == 0).
+    """Apply sorted int32 codes to dense2d [R, lanes] uint8.
 
-    Codes >= R*128 (sentinels/out-of-range) are ignored. Returns the updated
+    ``lanes`` is any power-of-two multiple of 128 (cell c lives at
+    ``[c // lanes, c %% lanes]`` — a [R, 128] plane and its [R/4, 512]
+    reshape are the same row-major bytes, so callers pick the lane width;
+    wider lanes build the same one-hots over more lanes / fewer sublanes,
+    ~10%% faster on the VPU). ``tile_rows`` defaults to
+    DEFAULT_TILE_CELLS / lanes; R %% tile_rows must be 0. Codes >=
+    R*lanes (sentinels/out-of-range) are ignored. Returns the updated
     dense2d; safe to donate.
 
     ``int8_mxu`` builds the one-hot factors as int8 with an int32
@@ -173,12 +199,15 @@ def accumulate_sorted_pallas(
     T/s), exact for the same reason bf16/f32 is (per-block counts <= block).
     """
     r, lanes = dense2d.shape
+    assert lanes % LANES == 0 and lanes & (lanes - 1) == 0, lanes
+    if tile_rows is None:
+        tile_rows = max(DEFAULT_TILE_CELLS // lanes, 8)
     tile_rows = min(tile_rows, r)
-    assert lanes == LANES and r % tile_rows == 0
+    assert r % tile_rows == 0
     # all index math (codes, searchsorted bounds, DMA offsets) is int32
-    if r * LANES > np.iinfo(np.int32).max:
+    if r * lanes > np.iinfo(np.int32).max:
         raise ValueError(
-            f"pallas sweep indexes the plane in int32; {r * LANES} cells "
+            f"pallas sweep indexes the plane in int32; {r * lanes} cells "
             "exceed int32 range (K>=17 folded) — use the XLA histogram path"
         )
     # the alignment mask `start & ~(block-1)` and pl.multiple_of claims
@@ -193,7 +222,7 @@ def accumulate_sorted_pallas(
     m = sorted_codes.shape[0]
 
     bounds = (
-        jnp.arange(n_tiles + 1, dtype=sorted_codes.dtype) * (tile_rows * LANES)
+        jnp.arange(n_tiles + 1, dtype=sorted_codes.dtype) * (tile_rows * lanes)
     )
     offsets = jnp.searchsorted(sorted_codes, bounds).astype(jnp.int32)
     # pad so the last block's DMA never reads out of bounds
@@ -210,32 +239,32 @@ def accumulate_sorted_pallas(
             pl.BlockSpec(
                 # t*0 keeps the index int32 under jax_enable_x64 (a python 0
                 # would trace as int64, which Mosaic cannot legalize)
-                (tile_rows, LANES), lambda t, offs: (t, t * 0),
+                (tile_rows, lanes), lambda t, offs: (t, t * 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tile_rows, LANES), lambda t, offs: (t, t * 0),
+            (tile_rows, lanes), lambda t, offs: (t, t * 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_rows, LANES),
+            pltpu.VMEM((tile_rows, lanes),
                        jnp.int32 if int8_mxu else jnp.float32),
             pltpu.VMEM((2 * block,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_kernel, tile_rows=tile_rows, block=block,
-                               int8_mxu=int8_mxu)
+                               lanes=lanes, int8_mxu=int8_mxu)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((r, lanes), jnp.uint8),
         input_output_aliases={2: 0},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * tile_rows * LANES // max(block, 1),
-            bytes_accessed=2 * r * LANES + 4 * m,
+            flops=2 * m * tile_rows * lanes // max(block, 1),
+            bytes_accessed=2 * r * lanes + 4 * m,
             transcendentals=0,
         ),
     )(offsets, codes_pad, dense2d)
@@ -278,7 +307,7 @@ def accumulate_sorted_planes(
     out = []
     base = 0
     for p in planes:
-        cells = p.shape[0] * LANES
+        cells = p.shape[0] * p.shape[1]
         local = localize_sorted(sorted_codes, base, base + cells)
         out.append(
             accumulate_sorted_pallas(

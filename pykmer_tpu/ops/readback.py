@@ -46,6 +46,15 @@ FETCH_THREADS = 16
 
 
 def _as2d(dense: jax.Array) -> jax.Array:
+    """[rows, >=256-lane] view for the pack kernels.
+
+    The packed BIT layout depends only on the flat cell order (all three
+    packs group adjacent cells within a row), so a plane already 2D with a
+    lane count that is a multiple of 256 packs in its NATIVE shape — a
+    reshape to [-1, 256] would be a full-plane relayout copy on TPU (1 GiB
+    temp per K=17 sub-plane)."""
+    if dense.ndim == 2 and dense.shape[1] % _PACK_LANES == 0:
+        return dense
     return dense.reshape(-1, _PACK_LANES)
 
 
@@ -81,7 +90,9 @@ def pack_3bit(dense: jax.Array) -> jax.Array:
     b1 = (c[2] >> 2) | (c[3] << 1) | (c[4] << 4) | ((c[5] & 1) << 7)
     b2 = (c[5] >> 1) | (c[6] << 2) | (c[7] << 5)
     rows = d2.shape[0]
-    return jnp.stack([b0, b1, b2], axis=2).reshape(rows, 96).astype(jnp.uint8)
+    out_cols = 3 * d2.shape[1] // 8
+    return jnp.stack([b0, b1, b2], axis=2).reshape(rows, out_cols) \
+        .astype(jnp.uint8)
 
 
 @jax.jit
@@ -567,8 +578,11 @@ def stream_dense_to_out(
     except AttributeError:
         pass
     _t_pack = _t.monotonic() - _t0
-    cells_per_row = _PACK_LANES
     rows, row_bytes = packed.shape
+    # wide-lane planes pack in their NATIVE shape (_as2d), so a packed row
+    # covers the plane's own lane count of cells, not always _PACK_LANES
+    assert size % rows == 0, (size, packed.shape)
+    cells_per_row = size // rows
     rows_per = max(1, slice_bytes // max(row_bytes, 1))
     if rows_per >= 16:
         rows_per &= ~15
@@ -896,9 +910,9 @@ def preload_programs(kmer_len: int, dense_shape=None) -> None:
     data later selects."""
     fold_size = 4**kmer_len // 2
     if dense_shape is None:
-        dense_shape = (
-            (fold_size // 128, 128) if fold_size % 128 == 0 else (fold_size,)
-        )
+        from .pallas_hist import dense_plane_shape
+
+        dense_shape = dense_plane_shape(fold_size)
     try:
         # host-side warm: the per-K canonical bitmask the fused unfold indexes
         from ..io.native import canon_bits_cached

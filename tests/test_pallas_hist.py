@@ -367,23 +367,25 @@ def test_stream_dense_chase_write_hash(rng, tmp_path):
     vals[hot] = rng.integers(7, 255, size=200).astype(np.uint8)  # escapes
     dense = jnp.asarray(vals.reshape(-1, 128))
 
-    for mode in ("2bit", "3bit", "packed"):
-        ref = np.zeros(2 * fold, dtype=np.uint8)
-        counts_ref = stream_dense_to_out(dense, kmer_len, ref, mode=mode)
+    for lanes in (128, 512):  # incl. the wide-lane production layout
+        dense = jnp.asarray(vals.reshape(-1, lanes))
+        for mode in ("2bit", "3bit", "packed"):
+            ref = np.zeros(2 * fold, dtype=np.uint8)
+            counts_ref = stream_dense_to_out(dense, kmer_len, ref, mode=mode)
 
-        out = np.zeros(2 * fold, dtype=np.uint8)
-        path = str(tmp_path / f"chase_{mode}.bin")
-        # tiny slices force many chase steps
-        with DirectWriter(path, size=2 * fold) as fd:
-            counts, hex_ = stream_dense_to_out(
-                dense, kmer_len, out, mode=mode, slice_bytes=1 << 12,
-                fd=fd, hash_out=True,
-            )
-        assert np.array_equal(counts, counts_ref), mode
-        assert np.array_equal(out, ref), mode
-        file_bytes = open(path, "rb").read()
-        assert file_bytes == ref.tobytes(), mode
-        assert hex_ == hashlib.sha256(ref).hexdigest(), mode
+            out = np.zeros(2 * fold, dtype=np.uint8)
+            path = str(tmp_path / f"chase_{lanes}_{mode}.bin")
+            # tiny slices force many chase steps
+            with DirectWriter(path, size=2 * fold) as fd:
+                counts, hex_ = stream_dense_to_out(
+                    dense, kmer_len, out, mode=mode, slice_bytes=1 << 12,
+                    fd=fd, hash_out=True,
+                )
+            assert np.array_equal(counts, counts_ref), (lanes, mode)
+            assert np.array_equal(out, ref), (lanes, mode)
+            file_bytes = open(path, "rb").read()
+            assert file_bytes == ref.tobytes(), (lanes, mode)
+            assert hex_ == hashlib.sha256(ref).hexdigest(), (lanes, mode)
 
 
 def test_indexer_chase_readback_end_to_end(rng, tmp_path):
