@@ -350,3 +350,36 @@ def test_packed_encoder_matches_slice_encoder(rng, kmer_len):
     )
     got2 = canonical_codes_packed(jnp.asarray(b2), None, span, kmer_len)
     assert np.array_equal(np.asarray(got2), np.asarray(want2))
+
+
+@pytest.mark.parametrize("n_windows", [1, 3, 15, 16, 17, 31, 33])
+def test_packed_encoder_tiny_spans(rng, n_windows):
+    """Window counts around the u32-group boundaries (1 window, partial
+    first group, exact multiples) must stay bit-exact."""
+    from pykmer_tpu.ops.encode import (
+        canonical_codes,
+        canonical_codes_packed,
+        fold_codes,
+        pack_base_stream,
+        unpack_base_2bit_mask,
+    )
+
+    k = 15
+    span = n_windows + k - 1
+    seq = rng.integers(0, 4, size=span).astype(np.uint8)
+    if n_windows > 2:
+        seq[1] = 4  # an N near the start poisons the first k windows
+    bases2, maskbits = pack_base_stream(seq)
+    want = fold_codes(
+        canonical_codes(
+            unpack_base_2bit_mask(
+                jnp.asarray(bases2), jnp.asarray(maskbits), span
+            ),
+            k,
+        ),
+        k,
+    )
+    got = canonical_codes_packed(
+        jnp.asarray(bases2), jnp.asarray(maskbits), span, k
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want)), n_windows
