@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shards", type=int, default=None,
                    help="shard each block's compare over N devices "
                         "(bit-identical to the single-device engine)")
+    p.add_argument("--engine", choices=("auto", "host", "device"),
+                   default="auto",
+                   help="auto: host popcount engine for small N (no device "
+                        "round-trip), device MXU engine at fan-in scale")
     p.add_argument("--quiet", action="store_true")
 
     p = sub.add_parser("distance", help="Jaccard distances + NJ tree from .kma")
@@ -243,7 +247,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             min_count=args.min_count, max_count=args.max_count,
             block_size=args.block_size, threads=args.threads,
             buffer_size=args.buffer_size, n_shards=args.shards,
-            verbose=not args.quiet,
+            engine=args.engine, verbose=not args.quiet,
         )
         return 0
 

@@ -422,6 +422,65 @@ def unpack_unfold_native(
         cap = n_esc  # rare: saturated data; redo with the exact size
 
 
+try:
+    _lib.pack_valid_bits.restype = None
+    _lib.pack_valid_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+    ]
+    _lib.popcount_buf.restype = ctypes.c_long
+    _lib.popcount_buf.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+    ]
+    _lib.popcount_and.restype = ctypes.c_long
+    _lib.popcount_and.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+    ]
+    _HAVE_PAIR_COUNTS = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_PAIR_COUNTS = False
+
+
+def pack_valid_bits_native(
+    data: np.ndarray, lo: int, hi: int, out: Optional[np.ndarray] = None,
+    threads: int = 2,
+) -> np.ndarray:
+    """Validity bitmap of a count block: bit i of byte j = (data[8j+i] in
+    [lo, hi]) — AVX2 range-compare + movemask at memory bandwidth. The bit
+    order is little-endian (movemask lanes); popcount consumers never look at
+    positions, but both operands of any AND must come from this packer."""
+    if not _HAVE_PAIR_COUNTS:
+        raise ImportError("libpykmer_native.so lacks pack_valid_bits")
+    assert data.dtype == np.uint8
+    data = np.ascontiguousarray(data.reshape(-1))
+    n_bytes = (data.shape[0] + 7) // 8
+    if out is None:
+        out = np.empty(n_bytes, dtype=np.uint8)
+    assert out.dtype == np.uint8 and out.shape[0] >= n_bytes
+    _lib.pack_valid_bits(data.ctypes.data, data.shape[0], lo, hi,
+                         out.ctypes.data, threads)
+    return out[:n_bytes]
+
+
+def popcount_buf_native(bits: np.ndarray, threads: int = 2) -> int:
+    if not _HAVE_PAIR_COUNTS:
+        raise ImportError("libpykmer_native.so lacks popcount_buf")
+    assert bits.dtype == np.uint8
+    bits = np.ascontiguousarray(bits.reshape(-1))
+    return int(_lib.popcount_buf(bits.ctypes.data, bits.shape[0], threads))
+
+
+def popcount_and_native(a: np.ndarray, b: np.ndarray, threads: int = 2) -> int:
+    if not _HAVE_PAIR_COUNTS:
+        raise ImportError("libpykmer_native.so lacks popcount_and")
+    assert a.dtype == np.uint8 and b.dtype == np.uint8
+    a = np.ascontiguousarray(a.reshape(-1))
+    b = np.ascontiguousarray(b.reshape(-1))
+    assert a.shape[0] == b.shape[0]
+    return int(_lib.popcount_and(a.ctypes.data, b.ctypes.data, a.shape[0],
+                                 threads))
+
+
 def count256_native(arr: np.ndarray) -> np.ndarray:
     assert arr.dtype == np.uint8
     arr = np.ascontiguousarray(arr.reshape(-1))

@@ -81,6 +81,7 @@ def merge(
     threads: int = MergeConfig.threads,
     buffer_size: Optional[int] = None,
     n_shards: Optional[int] = None,
+    engine: str = "auto",
     verbose: bool = True,
 ) -> Tuple[List[Dict[str, Any]], np.ndarray]:
     """Build `{project}.{min:03d}-{max:03d}.kma` (+ `.json`) from N indexes.
@@ -93,6 +94,12 @@ def merge(
     devices (parallel/compare.make_sharded_merge_step) — bit-identical to
     the single-device engine, replacing the reference's pair-parallel
     process pool (merger.py:137-161) at mesh scale.
+
+    ``engine``: "device" (MXU contingency matmul), "host" (native AVX2
+    bit-pack + popcount, no JAX/device involvement), or "auto" — host when
+    N <= PYKMER_TPU_MERGE_HOST_MAX_N (default 8; the pair pass is O(N^2)
+    bit-plane traffic, so the MXU engine wins at fan-in scale while small-N
+    merges skip the device upload round-trip and JAX import entirely).
     """
     if not (1 <= min_count and max_count <= 255):
         raise ValueError("count bounds must satisfy 1 <= min and max <= 255")
@@ -114,7 +121,18 @@ def merge(
     n = len(data)
     data_size = 4**kmer_len
 
-    shared = _pairwise_matrix_device(
+    if engine not in ("auto", "host", "device"):
+        raise ValueError(f"engine must be auto|host|device, got {engine!r}")
+    if engine == "auto":
+        host_max_n = int(os.environ.get("PYKMER_TPU_MERGE_HOST_MAX_N", "8"))
+        engine = "host" if n <= host_max_n and not (n_shards or 0) > 1 \
+            else "device"
+    if engine == "host" and (n_shards or 0) > 1:
+        raise ValueError("--shards requires the device engine")
+
+    builder = (_pairwise_matrix_host if engine == "host"
+               else _pairwise_matrix_device)
+    shared = builder(
         [d["index_file"] for d in data],
         data_size,
         min_count,
@@ -151,6 +169,176 @@ def merge(
         print(f"saving {outfile}")
     kmafmt.write_kma(outfile, matrix)
     return json_data, matrix
+
+
+class _InputStreams:
+    """N parallel block readers over `.kin` / `.kin.bgz` / `.gz` inputs (each
+    file streamed exactly once, front to back).
+
+    Raw `.kin` inputs read O_DIRECT into reusable pooled buffers (buffered
+    reads pay this environment's slow page-cache allocation); `.bgz` inputs
+    use GZI-guided random access with the covering blocks inflated in
+    parallel on a shared pool (zlib drops the GIL) — one serial gzip stream
+    per file was the N=39 merge's decode bottleneck (the reference carries
+    the .gzi for exactly this, gzireader.py:21-37). Non-BGZF gzip inputs (no
+    block structure) keep the stream fallback; a corrupt/truncated `.bgz`
+    (struct.error from the header walk) falls back the same way instead of
+    crashing the merge."""
+
+    def __init__(self, paths: Sequence[str], block_size: int,
+                 buffer_size: Optional[int]):
+        import struct as _struct
+
+        from ..io.bgzf import BgzfRangeReader
+        from ..io.direct import DirectReader
+        from ..utils.bigmem import big_empty
+
+        self.inflate_pool = ThreadPoolExecutor(max(2, os.cpu_count() or 2))
+        self.streams: List[Tuple[str, Any]] = []
+        self.bufs: List[np.ndarray] = []
+        ok = False
+        try:
+            for p in paths:
+                if p.endswith("." + kinfmt.COMP_EXT):
+                    try:
+                        self.streams.append(
+                            ("bgz", BgzfRangeReader(p, pool=self.inflate_pool))
+                        )
+                    except (IOError, OSError, _struct.error):
+                        self.streams.append(
+                            ("gz", kinfmt.open_kin_stream(
+                                p, buffering=buffer_size))
+                        )
+                else:
+                    self.streams.append(("raw", DirectReader(p)))
+                self.bufs.append(big_empty(block_size))
+            ok = True
+        finally:
+            if not ok:
+                self.close()
+
+    def read_block(self, i: int, want: int, off: int) -> np.ndarray:
+        """Fill stream i's pooled buffer with cells [off, off+want)."""
+        from ..io.direct import pread_into_mt
+
+        kind, src = self.streams[i]
+        blk = self.bufs[i][:want]
+        if kind == "raw":
+            got = pread_into_mt(src, blk, off, threads=2)
+        elif kind == "bgz":
+            got = src.read_into(blk, off)
+        else:
+            got, mv = 0, memoryview(blk)
+            while got < want:
+                r = src.readinto(mv[got:])
+                if not r:
+                    break
+                got += r
+        if got != want:
+            raise IOError("short read while merging")
+        return blk
+
+    def close(self) -> None:
+        self.inflate_pool.shutdown(wait=False)
+        for _, src in self.streams:
+            src.close()
+
+    def __enter__(self) -> "_InputStreams":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def _pairwise_matrix_host(
+    paths: List[str],
+    data_size: int,
+    min_count: int,
+    max_count: int,
+    block_size: int,
+    threads: int,
+    verbose: bool,
+    buffer_size: Optional[int] = None,
+    n_shards: Optional[int] = None,
+) -> np.ndarray:
+    """Small-N engine: per block, each sample reduces to a 1-bit validity
+    plane (AVX2 range-compare + movemask) and every pair accumulates one
+    AND+popcount pass — the reference's three-mask block loop
+    (tools.py:473-482) at memory bandwidth, with each file read ONCE.
+
+    No JAX import anywhere on this path: a cold CLI merge of a few samples
+    pays no device executable loads and no upload round-trip (the device
+    engine's per-block [N, block/8] upload dominates small-N wall time).
+    O(N^2) bit-plane traffic per block means the MXU engine takes over at
+    fan-in scale (merge() picks by N)."""
+    assert not (n_shards or 0) > 1
+    n = len(paths)
+    align = 8
+    block_size = max(4 * align, min(block_size, data_size + align - 1))
+    block_size = (block_size + align - 1) // align * align
+
+    try:
+        from ..io.native import (
+            pack_valid_bits_native,
+            popcount_and_native,
+            popcount_buf_native,
+        )
+
+        def pack(blk: np.ndarray, out: np.ndarray) -> np.ndarray:
+            return pack_valid_bits_native(blk, min_count, max_count, out=out)
+
+        pop, pop_and = popcount_buf_native, popcount_and_native
+    except ImportError:
+        def pack(blk: np.ndarray, out: np.ndarray) -> np.ndarray:
+            valid = (blk >= min_count) & (blk <= max_count)
+            packed = np.packbits(valid)
+            out[: packed.shape[0]] = packed
+            return out[: packed.shape[0]]
+
+        def pop(bits: np.ndarray, threads: int = 2) -> int:
+            return int(np.bitwise_count(bits).sum())
+
+        def pop_and(a: np.ndarray, b: np.ndarray, threads: int = 2) -> int:
+            return int(np.bitwise_count(a & b).sum())
+
+    acc = np.zeros((n, n), dtype=np.int64)
+    bit_bufs = [np.empty(block_size // 8, dtype=np.uint8) for _ in range(n)]
+    pairs = [(i, j) for i in range(n) for j in range(i, n)]
+    with _InputStreams(paths, block_size, buffer_size) as streams, \
+            ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+        done = 0
+        while done < data_size:
+            want = min(block_size, data_size - done)
+            nb = (want + 7) // 8
+            if want % 8:
+                # zero the ragged tail byte's pad bits (pack() zero-fills
+                # them, but only up to the bytes it returns)
+                for b in bit_bufs:
+                    b[nb - 1 : nb] = 0
+
+            def read_pack(i: int, want=want, off=done) -> np.ndarray:
+                return pack(streams.read_block(i, want, off), bit_bufs[i])
+
+            bits = list(pool.map(read_pack, range(n)))
+
+            def count_pair(ij: Tuple[int, int]) -> int:
+                i, j = ij
+                if i == j:
+                    return pop(bits[i], threads=1)
+                return pop_and(bits[i], bits[j], threads=1)
+
+            for (i, j), c in zip(pairs, pool.map(count_pair, pairs)):
+                acc[i, j] += c
+            done += want
+            if verbose:
+                print(
+                    f"  merged {done:15,d}/{data_size:15,d} "
+                    f"({done / data_size * 100.0:6.2f}%)"
+                )
+    assert done == data_size
+    iu = np.triu_indices(n, k=1)
+    acc[(iu[1], iu[0])] = acc[iu]
+    return acc
 
 
 @_functools.lru_cache(maxsize=None)
@@ -211,14 +399,27 @@ def _pairwise_matrix_device(
     else:
         n_shards = None
         align = 8
+    # clamp the block so the device working set stays inside an HBM budget:
+    # each step materialises the unpacked [n, block] int8 validity plane
+    # (plus the 8x smaller bits upload and the n^2 accumulator), and with
+    # async dispatch two blocks can be in flight — a large-N merge with the
+    # default 100M block would otherwise OOM the device rather than degrade
+    hbm_budget = int(os.environ.get("PYKMER_TPU_MERGE_HBM_BYTES",
+                                    str(2 << 30)))
+    max_block = max(4 * align, hbm_budget // max(n, 1) // align * align)
+    if block_size > max_block:
+        if verbose:
+            print(
+                f"  clamping block_size {block_size:,} -> {max_block:,} "
+                f"(N={n} unpacked planes within the {hbm_budget:,}-byte HBM "
+                f"budget; override via PYKMER_TPU_MERGE_HBM_BYTES)"
+            )
+        block_size = max_block
     # pad block to a multiple of the alignment so validity bits pack evenly
     # (and split evenly across shards) with static shapes; zero-padding =
     # invalid cells
     block_size = max(4 * align, min(block_size, data_size + align - 1))
     block_size = (block_size + align - 1) // align * align
-
-    from ..io.direct import DirectReader, pread_into_mt
-    from ..utils.bigmem import big_empty
 
     if n_shards:
         from ..parallel.compare import make_sharded_merge_step
@@ -236,79 +437,35 @@ def _pairwise_matrix_device(
     else:
         step = _make_block_step(n)
         acc = jnp.zeros((n, n), dtype=jnp.int64)
-    # raw `.kin` inputs read O_DIRECT into reusable pooled buffers (buffered
-    # reads pay this environment's slow page-cache allocation); `.bgz`
-    # inputs use GZI-guided random access with the covering blocks inflated
-    # in parallel on a shared pool (zlib drops the GIL) — one serial gzip
-    # stream per file was the N=39 merge's decode bottleneck (VERDICT r2;
-    # the reference carries the .gzi for exactly this, gzireader.py:21-37).
-    # Non-BGZF gzip inputs (no block structure) keep the stream fallback.
-    from ..io.bgzf import BgzfRangeReader
+    with _InputStreams(paths, block_size, buffer_size) as streams, \
+            ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
+        done = 0
+        while done < data_size:
+            want = min(block_size, data_size - done)
 
-    inflate_pool = ThreadPoolExecutor(max(2, os.cpu_count() or 2))
-    streams = []
-    bufs = []
-    for p in paths:
-        if p.endswith("." + kinfmt.COMP_EXT):
-            try:
-                streams.append(("bgz", BgzfRangeReader(p, pool=inflate_pool)))
-            except (IOError, OSError):
-                streams.append(
-                    ("gz", kinfmt.open_kin_stream(p, buffering=buffer_size))
-                )
-        else:
-            streams.append(("raw", DirectReader(p)))
-        bufs.append(big_empty(block_size))
-    try:
-        pool = ThreadPoolExecutor(max_workers=max(1, threads))
-        try:
-            done = 0
-            while done < data_size:
-                want = min(block_size, data_size - done)
-
-                def read_one(i, want=want, off=done):
-                    # read + threshold + bit-pack in the reader thread: the
-                    # upload shrinks 8x (1 bit per cell) and packing overlaps
-                    # across the N streams
-                    kind, src = streams[i]
-                    blk = bufs[i][:want]
-                    if kind == "raw":
-                        got = pread_into_mt(src, blk, off, threads=2)
-                    elif kind == "bgz":
-                        got = src.read_into(blk, off)
-                    else:
-                        got, mv = 0, memoryview(blk)
-                        while got < want:
-                            r = src.readinto(mv[got:])
-                            if not r:
-                                break
-                            got += r
-                    if got != want:
-                        raise IOError("short read while merging")
-                    valid = (blk >= min_count) & (blk <= max_count)
-                    if want < block_size:
-                        valid = np.concatenate(
-                            [valid, np.zeros(block_size - want, dtype=bool)]
-                        )
-                    return np.packbits(valid)
-
-                bits = np.stack(list(pool.map(read_one, range(n))))
-                # pass the HOST array: the sharded step device_puts it with
-                # the shard sharding itself — a jnp.asarray here would first
-                # commit the whole block to device 0 and double the upload
-                acc = step(acc, bits)
-                done += want
-                if verbose:
-                    print(
-                        f"  merged {done:15,d}/{data_size:15,d} "
-                        f"({done / data_size * 100.0:6.2f}%)"
+            def read_one(i, want=want, off=done):
+                # read + threshold + bit-pack in the reader thread: the
+                # upload shrinks 8x (1 bit per cell) and packing overlaps
+                # across the N streams
+                blk = streams.read_block(i, want, off)
+                valid = (blk >= min_count) & (blk <= max_count)
+                if want < block_size:
+                    valid = np.concatenate(
+                        [valid, np.zeros(block_size - want, dtype=bool)]
                     )
-        finally:
-            pool.shutdown()
-    finally:
-        inflate_pool.shutdown(wait=False)
-        for kind, src in streams:
-            src.close()
+                return np.packbits(valid)
+
+            bits = np.stack(list(pool.map(read_one, range(n))))
+            # pass the HOST array: the sharded step device_puts it with
+            # the shard sharding itself — a jnp.asarray here would first
+            # commit the whole block to device 0 and double the upload
+            acc = step(acc, bits)
+            done += want
+            if verbose:
+                print(
+                    f"  merged {done:15,d}/{data_size:15,d} "
+                    f"({done / data_size * 100.0:6.2f}%)"
+                )
     assert done == data_size
     return np.asarray(acc, dtype=np.int64)
 

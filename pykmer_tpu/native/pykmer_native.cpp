@@ -1293,6 +1293,137 @@ long fasta_decode_joined_packed_mt(const uint8_t* data, long n, long k,
 
 }  // extern "C"
 
+// ---------------------------------------------------------------------------
+// Small-N merge host fast path (reference Header.calculate_distance,
+// tools.py:439-493): per streamed block, each sample's bytes reduce to a
+// 1-bit validity plane (count within [lo, hi]); pair contingencies are then
+// AND+popcount passes over the bit planes. For small N this beats the device
+// engine's upload round-trip (and needs no TPU at all — a cold CLI merge
+// skips JAX entirely); the device MXU path still wins at large N.
+
+#if defined(__x86_64__)
+// bit i of bits[j] = (data[8j+i] in [lo, hi]); little-endian bit order
+// (movemask lane order) — popcount consumers are order-agnostic, but both
+// sides of every AND must come from this same packer.
+__attribute__((target("avx2")))
+static void pack_valid_bits_avx2(const uint8_t* data, long n, uint8_t lo_v,
+                                 uint8_t hi_v, uint8_t* bits) {
+  const __m256i vlo = _mm256_set1_epi8((char)lo_v);
+  const __m256i vhi = _mm256_set1_epi8((char)hi_v);
+  long i = 0;
+  for (; i + 32 <= n; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(data + i));
+    __m256i ge = _mm256_cmpeq_epi8(_mm256_max_epu8(v, vlo), v);
+    __m256i le = _mm256_cmpeq_epi8(_mm256_min_epu8(v, vhi), v);
+    uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_and_si256(ge, le));
+    memcpy(bits + (i >> 3), &m, 4);
+  }
+  for (; i < n; i += 8) {
+    uint8_t m = 0;
+    for (int b = 0; b < 8 && i + b < n; b++) {
+      uint8_t c = data[i + b];
+      m |= (uint8_t)((c >= lo_v && c <= hi_v) << b);
+    }
+    bits[i >> 3] = m;
+  }
+}
+#endif
+
+extern "C" {
+
+// Pack byte counts into a validity bitmap: bit i of bits[j] =
+// (data[8j+i] in [lo, hi]). n need not be a multiple of 8; the final
+// partial byte is zero-padded (invalid).
+void pack_valid_bits(const uint8_t* data, long n, int lo_v, int hi_v,
+                     uint8_t* bits, int threads) {
+  uint8_t lo8 = (uint8_t)lo_v, hi8 = (uint8_t)hi_v;
+  if (threads < 1) threads = 1;
+  long n_bytes = (n + 7) / 8;
+  long per = ((n_bytes + threads - 1) / threads + 3) & ~3L;  // 32-code align
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long blo = t * per, bhi = std::min(n_bytes, blo + per);
+    if (blo >= bhi) break;
+    pool.emplace_back([=] {
+      long a = blo * 8, b = std::min(n, bhi * 8);
+#if defined(__x86_64__)
+      if (HAVE_AVX2) {
+        pack_valid_bits_avx2(data + a, b - a, lo8, hi8, bits + blo);
+        return;
+      }
+#endif
+      for (long i = a; i < b; i += 8) {
+        uint8_t m = 0;
+        for (int k = 0; k < 8 && i + k < b; k++) {
+          uint8_t c = data[i + k];
+          m |= (uint8_t)((c >= lo8 && c <= hi8) << k);
+        }
+        bits[i >> 3] = m;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// popcount of a bit plane (n_bytes need not be word-aligned)
+long popcount_buf(const uint8_t* a, long n_bytes, int threads) {
+  if (threads < 1) threads = 1;
+  long per = ((n_bytes + threads - 1) / threads + 7) & ~7L;
+  std::vector<long> partial((size_t)threads, 0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_bytes, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([&, t, lo, hi] {
+      long c = 0, i = lo;
+      for (; i + 8 <= hi; i += 8) {
+        uint64_t w;
+        memcpy(&w, a + i, 8);
+        c += __builtin_popcountll(w);
+      }
+      for (; i < hi; i++) c += __builtin_popcount(a[i]);
+      partial[t] = c;
+    });
+  }
+  for (auto& th : pool) th.join();
+  long total = 0;
+  for (long p : partial) total += p;
+  return total;
+}
+
+// popcount(a & b) over two equal-length bit planes
+long popcount_and(const uint8_t* a, const uint8_t* b, long n_bytes,
+                  int threads) {
+  if (threads < 1) threads = 1;
+  long per = ((n_bytes + threads - 1) / threads + 7) & ~7L;
+  std::vector<long> partial((size_t)threads, 0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < threads; t++) {
+    long lo = t * per, hi = std::min(n_bytes, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([&, t, lo, hi] {
+      long c = 0, i = lo;
+      for (; i + 32 <= hi; i += 32) {  // 4-way unroll: ~memory bandwidth
+        uint64_t w0, w1, w2, w3, x0, x1, x2, x3;
+        memcpy(&w0, a + i, 8);      memcpy(&x0, b + i, 8);
+        memcpy(&w1, a + i + 8, 8);  memcpy(&x1, b + i + 8, 8);
+        memcpy(&w2, a + i + 16, 8); memcpy(&x2, b + i + 16, 8);
+        memcpy(&w3, a + i + 24, 8); memcpy(&x3, b + i + 24, 8);
+        c += __builtin_popcountll(w0 & x0) + __builtin_popcountll(w1 & x1) +
+             __builtin_popcountll(w2 & x2) + __builtin_popcountll(w3 & x3);
+      }
+      for (; i < hi; i++) c += __builtin_popcount(a[i] & b[i]);
+      partial[t] = c;
+    });
+  }
+  for (auto& th : pool) th.join();
+  long total = 0;
+  for (long p : partial) total += p;
+  return total;
+}
+
+}  // extern "C"
+
 // Scan-only escape detection on a bit-packed folded-plane slice: local cell
 // indices where the W-bit field equals the escape marker (2^W - 1), WITHOUT
 // unfolding. The readback drain phase runs this as each packed slice lands

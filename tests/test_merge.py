@@ -39,12 +39,14 @@ def test_pair_counts_stream_matches_oracle(tmp_path, rng):
         assert got == want
 
 
-def test_merge_matches_pairwise_stream(tmp_path, rng, monkeypatch):
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_merge_matches_pairwise_stream(tmp_path, rng, monkeypatch, engine):
     kmer_len = 5
     paths = _make_indexes(tmp_path, rng, n=4, kmer_len=kmer_len)
     monkeypatch.chdir(tmp_path)
     project = str(tmp_path / "proj")
-    data, matrix = merge(project, paths, block_size=101, verbose=False)
+    data, matrix = merge(project, paths, block_size=101, engine=engine,
+                         verbose=False)
     n = len(paths)
     assert matrix.shape == (n, n, 3)
     for k in range(n):
@@ -111,6 +113,69 @@ def test_merge_guards(tmp_path, rng, monkeypatch):
         merge(str(tmp_path / "p"), paths, verbose=False)
 
 
+def test_host_engine_numpy_fallback(tmp_path, rng, monkeypatch):
+    """Host engine without the native library (numpy bitwise_count path)."""
+    import sys
+
+    kmer_len = 5
+    paths = _make_indexes(tmp_path, rng, n=3, kmer_len=kmer_len)
+    project = str(tmp_path / "np_proj")
+    # sys.modules[name] = None makes `import name` raise ImportError, which
+    # is exactly the native-less condition the fallback guards
+    monkeypatch.setitem(sys.modules, "pykmer_tpu.io.native", None)
+    _, matrix = merge(project, paths, block_size=77, engine="host",
+                      verbose=False)
+    for k in range(3):
+        for l in range(k + 1, 3):
+            kc, lc, sc = pair_counts_stream(paths[k], paths[l], 4**kmer_len)
+            assert tuple(int(x) for x in matrix[k, l]) == (kc, lc, sc)
+
+
+def test_host_engine_cli_and_bgz(tmp_path, rng, monkeypatch):
+    """--engine host over mixed raw + .bgz inputs matches the device engine."""
+    from pykmer_tpu.cli import main
+    from pykmer_tpu.io.bgzf import compress_file
+
+    monkeypatch.chdir(tmp_path)
+    paths = _make_indexes(tmp_path, rng, n=3, kmer_len=5)
+    bgz = paths[1] + ".bgz"
+    compress_file(paths[1], bgz)
+    os.remove(paths[1])
+    inputs = [paths[0], bgz, paths[2]]
+    assert main(["merge", "hosteng", *inputs, "--quiet",
+                 "--engine", "host"]) == 0
+    assert main(["merge", "deveng", *inputs, "--quiet",
+                 "--engine", "device"]) == 0
+    a = read_kma("hosteng.001-255.kma")
+    b = read_kma("deveng.001-255.kma")
+    assert np.array_equal(a, b)
+
+
+def test_merge_large_n_hbm_clamp(tmp_path, rng, monkeypatch):
+    """An N=128 merge completes on the device engine with default flags, with
+    the block clamped to the HBM budget (VERDICT r3 #4); result matches the
+    host engine."""
+    import shutil
+
+    kmer_len = 5
+    base = _make_indexes(tmp_path, rng, n=2, kmer_len=kmer_len)
+    paths = list(base)
+    for i in range(126):
+        dup = str(tmp_path / f"dup{i:03d}.fa.05.kin")
+        shutil.copyfile(base[i % 2], dup)
+        shutil.copyfile(base[i % 2] + ".json", dup + ".json")
+        paths.append(dup)
+    # a 16 KiB budget forces the clamp (128 samples -> 128-cell blocks)
+    monkeypatch.setenv("PYKMER_TPU_MERGE_HBM_BYTES", str(16384))
+    _, matrix = merge(str(tmp_path / "big"), paths, verbose=False)
+    monkeypatch.setenv("PYKMER_TPU_MERGE_HOST_MAX_N", "200")
+    _, matrix_host = merge(str(tmp_path / "bigh"), paths, verbose=False)
+    assert np.array_equal(matrix, matrix_host)
+    # spot-check one pair against the stream oracle
+    kc, lc, sc = pair_counts_stream(paths[0], paths[5], 4**kmer_len)
+    assert tuple(int(x) for x in matrix[0, 5]) == (kc, lc, sc)
+
+
 def test_sharded_merge_matches_single_device(tmp_path, rng, monkeypatch):
     """merge(n_shards=4) is bit-identical to the single-device engine (and
     reachable from the CLI via --shards)."""
@@ -128,7 +193,8 @@ def test_sharded_merge_matches_single_device(tmp_path, rng, monkeypatch):
         create_fasta_index(fa, "s", fa, 5, verbose=False)
         kins.append(f"{fa}.05.kin")
 
-    assert main(["merge", "single", *kins, "--quiet"]) == 0
+    assert main(["merge", "single", *kins, "--quiet",
+                 "--engine", "device"]) == 0
     assert main(["merge", "sharded", *kins, "--quiet", "--shards", "4",
                  "--block-size", "1024"]) == 0
     a = np.load("single.001-255.kma")["matrix"]
