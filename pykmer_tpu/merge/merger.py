@@ -380,12 +380,13 @@ def _pairwise_matrix_device(
     n_shards: Optional[int] = None,
 ) -> np.ndarray:
     """Shared-count N×N matrix; each file streamed exactly once."""
-    import jax
-
     # the on-device accumulator must be true int64: per-sample totals exceed
-    # int32 at K>=16 (this path does not otherwise import ops/, which
-    # enables x64 for the whole process)
-    jax.config.update("jax_enable_x64", True)
+    # int32 at K>=16 (this path does not otherwise import ops/, so it routes
+    # through the package's single x64 configuration point itself)
+    from .._jax_setup import ensure_x64
+
+    ensure_x64()
+    import jax
     import jax.numpy as jnp
 
     n = len(paths)

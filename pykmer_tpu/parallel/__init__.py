@@ -1,3 +1,7 @@
+from .._jax_setup import ensure_x64
+
+ensure_x64()
+
 from .mesh import make_mesh, DATA_AXIS, SHARD_AXIS
 from .histogram import (
     make_sharded_accumulate,
