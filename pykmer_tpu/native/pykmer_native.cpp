@@ -696,6 +696,124 @@ void unfold_canonical_range(const uint8_t* folded_slice, uint8_t* out, int k,
   }
 }
 
+// Sparse token-stream decode (ops/readback.py sparse mode). One byte per
+// nonzero folded cell: token t < 252 encodes (gap = t/3 zeros skipped,
+// value class v = t%3 + 1, v == 3 marking ">= 3" for the escape patch);
+// t >= 252 encodes v = t - 251 with the cell's absolute in-segment position
+// taken from the int32 side stream (gaps > 83). The decoder memsets the
+// segment's two unfolded file ranges (primary at seg_base, mirror at
+// 4^K - seg_base - seg_len) and writes only the nonzeros — ~10x less memory
+// traffic than the fixed-width unpack+unfold at lambda ~0.1. The canonical
+// test short-circuits on the top 16 bits (rc(u)'s top 16 bits are RC16 of
+// u's low 16), falling back to the full reverse complement only on ties.
+// Returns side entries consumed, or -1 on a malformed stream.
+extern "C" long sparse_decode_segment(const uint8_t* tokens, long n_tok,
+                                      const int32_t* side, long n_side,
+                                      uint8_t* out, int k, uint64_t seg_base,
+                                      uint64_t seg_len, long* counts) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t full = 1ULL << bits;
+  const uint64_t m = full - 1;
+  if (seg_base + seg_len > full / 2) return -1;
+  memset(out + seg_base, 0, (size_t)seg_len);
+  memset(out + (full - seg_base - seg_len), 0, (size_t)seg_len);
+  static uint8_t GAP_LUT[252], VAL_LUT[252];
+  static const bool LUT_INIT = [] {
+    for (int t = 0; t < 252; t++) {
+      GAP_LUT[t] = (uint8_t)(t / 3);
+      VAL_LUT[t] = (uint8_t)(t % 3 + 1);
+    }
+    return true;
+  }();
+  (void)LUT_INIT;
+  long c_val[4] = {0, 0, 0, 0};
+  int64_t p = -1;
+  long si = 0;
+  for (long i = 0; i < n_tok; i++) {
+    uint8_t t = tokens[i];
+    uint8_t v;
+    if (t >= 252) {
+      if (si >= n_side || t == 255) return -1;
+      v = (uint8_t)(t - 251);
+      p = side[si++];
+    } else {
+      v = VAL_LUT[t];
+      p += 1 + GAP_LUT[t];
+    }
+    if ((uint64_t)p >= seg_len) return -1;
+    uint64_t u = seg_base + (uint64_t)p;
+    bool canon;
+    if (bits > 16) {
+      uint64_t hi_u = u >> (bits - 16);
+      uint64_t hi_rc = RC16[u & 0xFFFF];
+      canon = hi_u != hi_rc ? hi_u < hi_rc : u <= rc_code(u, bits);
+    } else {
+      canon = u <= rc_code(u, bits);
+    }
+    out[canon ? u : m - u] = v;
+    c_val[v]++;
+  }
+  counts[1] += c_val[1];
+  counts[2] += c_val[2];
+  counts[3] += c_val[3];
+  return si;
+}
+
+// Piece variant of sparse_decode_segment for the arena-free readback: the
+// segment's two unfolded file ranges land in standalone buffers — `primary`
+// (file offset seg_base) and `mirror` (file offset 4^K - seg_base - seg_len,
+// ascending file order) — so no 4^K host arena ever exists (17 GiB at K=17;
+// MAP_POPULATE of that arena costs ~60 s on the target guest). Token/side
+// semantics identical to sparse_decode_segment.
+extern "C" long sparse_decode_segment_piece(
+    const uint8_t* tokens, long n_tok, const int32_t* side, long n_side,
+    uint8_t* primary, uint8_t* mirror, int k, uint64_t seg_base,
+    uint64_t seg_len, long* counts) {
+  (void)RC16_INIT;
+  const int bits = 2 * k;
+  const uint64_t full = 1ULL << bits;
+  if (seg_base + seg_len > full / 2) return -1;
+  memset(primary, 0, (size_t)seg_len);
+  memset(mirror, 0, (size_t)seg_len);
+  long c_val[4] = {0, 0, 0, 0};
+  int64_t p = -1;
+  long si = 0;
+  for (long i = 0; i < n_tok; i++) {
+    uint8_t t = tokens[i];
+    uint8_t v;
+    if (t >= 252) {
+      if (si >= n_side || t == 255) return -1;
+      v = (uint8_t)(t - 251);
+      p = side[si++];
+    } else {
+      v = (uint8_t)(t % 3 + 1);
+      p += 1 + t / 3;
+    }
+    if ((uint64_t)p >= seg_len) return -1;
+    uint64_t u = seg_base + (uint64_t)p;
+    bool canon;
+    if (bits > 16) {
+      uint64_t hi_u = u >> (bits - 16);
+      uint64_t hi_rc = RC16[u & 0xFFFF];
+      canon = hi_u != hi_rc ? hi_u < hi_rc : u <= rc_code(u, bits);
+    } else {
+      canon = u <= rc_code(u, bits);
+    }
+    // mirror cell of u sits at file offset full-1-u; relative to the mirror
+    // buffer base (full - seg_base - seg_len) that is seg_len - 1 - p
+    if (canon)
+      primary[p] = v;
+    else
+      mirror[seg_len - 1 - (uint64_t)p] = v;
+    c_val[v]++;
+  }
+  counts[1] += c_val[1];
+  counts[2] += c_val[2];
+  counts[3] += c_val[3];
+  return si;
+}
+
 // Piece variant for the multi-host sharded writer: expand folded cells
 // [g0, g0 + n) into TWO standalone buffers — `primary` (belongs at file
 // offset g0) and `mirror` (belongs at 4^K - g0 - n) — so no host ever

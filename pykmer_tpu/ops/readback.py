@@ -26,6 +26,7 @@ All device programs here work on a [rows, 256] 2D view: giant 1D programs
 
 from __future__ import annotations
 
+import functools
 import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
@@ -109,10 +110,13 @@ def count_escapes(dense: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 @jax.jit
 def count_all_escapes(dense: jax.Array):
-    """(cells >= 3, >= 7, >= 15) — one cheap device pass ahead of choosing
-    the pack width; the scalars cost one tiny dispatch round-trip. Reduces
-    the plane in its native layout (see count_escapes on why no _as2d)."""
+    """(cells >= 1, >= 3, >= 7, >= 15) — one cheap device pass ahead of
+    choosing the pack mode; the scalars cost one tiny dispatch round-trip.
+    The >= 1 count (nonzeros) prices the sparse token stream; the others
+    price each fixed-width plane's escape patches. Reduces the plane in its
+    native layout (see count_escapes on why no _as2d)."""
     return (
+        (dense >= 1).sum(dtype=jnp.int64),
         (dense >= ESCAPE2).sum(dtype=jnp.int64),
         (dense >= ESCAPE3).sum(dtype=jnp.int64),
         (dense >= ESCAPE4).sum(dtype=jnp.int64),
@@ -396,7 +400,11 @@ def _pick_mode(dense: jax.Array, size: int, mode: str, escapes=None) -> str:
         return mode
     if escapes is None:
         escapes = count_all_escapes(dense)
-    n_ge3, n_ge7, n_ge15 = (int(v) for v in escapes)
+    vals = tuple(int(v) for v in escapes)
+    # pre-r4 callers may still hand a 3-tuple (no nonzero count): price the
+    # fixed-width planes only
+    n_nz = vals[0] if len(vals) == 4 else None
+    n_ge3, n_ge7, n_ge15 = vals[-3:]
     # bytes moved per plane: plane bits/8 per cell + ~9 bytes per escape
     # (index upload + value download + dispatch overheads)
     costs = {
@@ -404,8 +412,150 @@ def _pick_mode(dense: jax.Array, size: int, mode: str, escapes=None) -> str:
         "3bit": 3 * size // 8 + 9 * n_ge7,
         "packed": size // 2 + 9 * n_ge15,
     }
+    if (n_nz is not None and n_nz <= size // 8
+            and _sparse_viable(dense, size, n_ge3)):
+        # one token byte per nonzero + the same ~9-byte escape patches, plus
+        # a flat size/64 penalty for the extra device work (per-segment
+        # compaction sorts) and per-segment side/meta transfers — sparse
+        # must win clearly, not marginally. The size/8 density gate keeps
+        # segment-level skew away from the 20% token caps (_sparse_caps).
+        costs["sparse"] = n_nz + 9 * n_ge3 + size // 64
     mode = min(costs, key=costs.get)
     return "raw2d" if costs[mode] > size else mode
+
+
+# --- sparse (zero-run token) readback -------------------------------------
+#
+# At K >= 17 realistic coverage leaves the folded plane ~93% zeros (Poisson
+# lambda ~0.1): even the 2-bit fixed-width plane ships 0.25 B/cell while the
+# occupancy entropy is ~0.4 bit/cell. The sparse mode compacts each plane
+# SEGMENT on device (unstable keys-only sort of nonzero positions — no
+# scatter exists on this target) and ships ONE BYTE PER NONZERO:
+#
+#   token t < 252:  gap g = t // 3 zeros precede the cell, value v = t % 3 + 1
+#                   (v == 3 marks ">= 3": true value patched by the usual
+#                   batched escape gather)
+#   token >= 252:   v = t - 251; the cell's absolute in-segment position is
+#                   the next entry of the segment's int32 side stream
+#                   (gaps > 83 — P ~ 0.1% at lambda 0.1)
+#
+# Segments are self-contained (first token's gap counts from the segment
+# start), so host decode parallelises per segment with no anchor tables, and
+# the device sort temps stay ~1 GiB. Escape POSITIONS are compacted on
+# device too, so the patch gather is dispatched before the token drain even
+# starts. The host decoder (native C++) memsets the segment's two unfolded
+# ranges and writes only the nonzeros — ~10x less memory traffic than the
+# fixed-width unpack+unfold at lambda 0.1.
+
+SPARSE_LONG_GAP = 83
+
+
+def _sparse_min_size() -> int:
+    return int(os.environ.get("PYKMER_TPU_SPARSE_MIN", str(1 << 26)))
+
+
+def _sparse_seg_cells() -> int:
+    # hard cap 2^28: pack_sparse_segment carries 4*pos + value in an int32
+    return min(int(os.environ.get("PYKMER_TPU_SPARSE_SEG", str(1 << 28))),
+               1 << 28)
+
+
+def _sparse_caps(seg_cells: int) -> Tuple[int, int]:
+    """(token capacity, side/escape capacity) for one segment.
+
+    The token cap prices the aux compaction sorts (they run over [cap]), so
+    it is deliberately tight: 20% density, vs the ~12.5% global-density gate
+    in :func:`_pick_mode` — the slack absorbs composition skew between a
+    plane's segments (GC-content concentrates codes in parts of the code
+    space). Overflow falls back to the 2-bit plane, which is priced better
+    at such densities anyway."""
+    cap = min(max(seg_cells // 5, 64), seg_cells)
+    aux = min(max(seg_cells // 128, 64), seg_cells)
+    return cap, aux
+
+
+def _sparse_enabled() -> bool:
+    return os.environ.get("PYKMER_TPU_SPARSE", "auto") != "0"
+
+
+def _sparse_viable(dense: jax.Array, size: int, n_ge3: int) -> bool:
+    if not _sparse_enabled():
+        return False
+    if dense.ndim != 2 or size < _sparse_min_size():
+        return False
+    seg = _sparse_seg_cells()
+    lanes = dense.shape[1]
+    if seg % lanes:
+        return False
+    # native decoder required: the numpy fallback would walk tokens in
+    # Python — fixed-width planes with the native fused unfold beat that
+    try:
+        from ..io.native import _HAVE_SPARSE_DECODE
+
+        return bool(_HAVE_SPARSE_DECODE)
+    except ImportError:
+        return False
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def pack_sparse_segment(seg2d: jax.Array, cap: int, side_cap: int,
+                        esc_cap: int):
+    """Compact one [rows, lanes] uint8 segment into the sparse wire format.
+
+    Returns (tokens uint8[cap], side int32[side_cap], escpos int32[esc_cap],
+    meta int32[3] = (n_nz, n_long, n_esc)). Only the first n_nz tokens,
+    n_long side entries and n_esc escape positions are meaningful; the caller
+    falls back to a fixed-width plane if any cap is exceeded (meta carries
+    the true counts regardless).
+
+    Positions compact via an unstable keys-only sort (the fast sort of the
+    accumulate path): where(nz, 4*iota + clipped_value, BIG) sorted ascending
+    puts the nonzeros first IN ORDER — there is no TPU scatter to compact
+    directly, and carrying the 2-bit clipped value in the key's low bits
+    avoids a 1-byte-per-nonzero random gather afterwards (measured 1.3 s per
+    2^28-cell segment on v5e — 3x the sort itself)."""
+    rows, lanes = seg2d.shape
+    s = rows * lanes
+    flat = seg2d.reshape(-1)
+    nz = flat != 0
+    n_nz = nz.sum(dtype=jnp.int32)
+    sentinel = jnp.int32(s)
+    v8 = jnp.minimum(flat, ESCAPE2).astype(jnp.int32)
+    # 4*iota + v fits int32 for segments up to 2^28 cells (enforced by the
+    # segment framing); zero cells sort to the tail via 4*s
+    keys = jnp.where(
+        nz, (jnp.arange(s, dtype=jnp.int32) << 2) + v8, jnp.int32(4) * sentinel
+    )
+    sorted_keys = jax.lax.sort(keys, is_stable=False)
+    sk = jax.lax.slice(sorted_keys, (0,), (cap,))
+    pos = sk >> 2
+    v = sk & 3
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pos[:-1]])
+    gap = pos - prev - 1
+    real = jnp.arange(cap, dtype=jnp.int32) < n_nz
+    token = jnp.where(
+        gap <= SPARSE_LONG_GAP, 3 * gap + (v - 1), 252 + (v - 1)
+    )
+    token = jnp.where(real, token, 0).astype(jnp.uint8)
+    longmask = real & (gap > SPARSE_LONG_GAP)
+    n_long = longmask.sum(dtype=jnp.int32)
+    side = jax.lax.sort(
+        jnp.where(longmask, pos, sentinel), is_stable=False
+    )[:side_cap]
+    escmask = real & (v == ESCAPE2)
+    n_esc = escmask.sum(dtype=jnp.int32)
+    escpos = jax.lax.sort(
+        jnp.where(escmask, pos, sentinel), is_stable=False
+    )[:esc_cap]
+    meta = jnp.stack([n_nz, n_long, n_esc])
+    return token, side, escpos, meta
+
+
+@jax.jit
+def _concat_metas(metas):
+    """Fuse per-segment meta vectors into one array → ONE host fetch (each
+    scalar fetch is a full RPC round-trip on tunneled links)."""
+    return jnp.stack(metas)
 
 
 def _gather_escapes(dense: jax.Array, esc_idx: np.ndarray) -> np.ndarray:
@@ -481,6 +631,237 @@ class _ChaseSink:
             self.writers.shutdown(wait=True)
 
 
+def _sparse_dispatch(dense: jax.Array) -> dict:
+    """Dispatch the sparse pack programs for every segment of one plane.
+
+    Split from :func:`_stream_sparse` so a multi-plane caller can enqueue
+    plane q+1's device compaction BEFORE draining plane q's tokens — the
+    device then packs ahead while the host owns the link (the pack is
+    ~0.6 s/segment of device time that would otherwise serialise with the
+    drains)."""
+    rows, lanes = dense.shape
+    seg_rows = max(1, _sparse_seg_cells() // lanes)
+    bounds = list(range(0, rows, seg_rows)) + [rows]
+    n_segs = len(bounds) - 1
+    seg_off = [bounds[i] * lanes for i in range(n_segs + 1)]
+    packed = []
+    for i in range(n_segs):
+        c = seg_off[i + 1] - seg_off[i]
+        cap, aux = _sparse_caps(c)
+        packed.append(
+            pack_sparse_segment(dense[bounds[i] : bounds[i + 1]], cap, aux, aux)
+        )
+    return {
+        "packed": packed,
+        "bounds": bounds,
+        "seg_off": seg_off,
+        "meta_dev": _concat_metas([p[3] for p in packed]),
+    }
+
+
+def _stream_sparse(
+    dense: jax.Array,
+    kmer_len: int,
+    out: np.ndarray,
+    base: int,
+    sink: Optional["_ChaseSink"],
+    threads: int,
+    slice_bytes: int,
+    job: Optional[dict] = None,
+) -> Optional[np.ndarray]:
+    """Sparse-mode readback of one folded (sub-)plane into ``out``.
+
+    Per segment: the device compacts nonzeros into the token stream
+    (:func:`pack_sparse_segment`), one fused meta fetch sizes every transfer,
+    the escape-patch gather is dispatched BEFORE the token drain (positions
+    came compacted from the device), tokens drain with the CPUs idle, and the
+    native decoder memsets + scatters each segment's two unfolded ranges. A
+    chaser walks segments in ascending order patching escapes and feeding
+    ``sink`` regions, exactly like the fixed-width chase.
+
+    Returns the folded 256-bin counts, or ``None`` when a device-side cap
+    overflowed (pathological density — caller falls back to a fixed-width
+    plane; nothing has been written to ``out`` in that case)."""
+    import threading as _threading
+    import time as _time
+
+    from ..io.native import sparse_decode_segment_native
+
+    full = out.shape[0]
+    phase_s = {}
+    _t0 = _time.monotonic()
+    if job is None:
+        job = _sparse_dispatch(dense)
+    packed, bounds, seg_off = job["packed"], job["bounds"], job["seg_off"]
+    n_segs = len(bounds) - 1
+    metas = np.asarray(job["meta_dev"])
+    phase_s["pack"] = _time.monotonic() - _t0
+    for i in range(n_segs):
+        c = seg_off[i + 1] - seg_off[i]
+        cap, aux = _sparse_caps(c)
+        n_nz, n_long, n_esc = (int(v) for v in metas[i])
+        if n_nz > cap or n_long > aux or n_esc > aux:
+            return None  # density too high for the static caps — fall back
+
+    from ..utils.keepalive import keepalive_suspended
+
+    totals = np.zeros(256, dtype=np.int64)
+    with keepalive_suspended():
+        # small aux transfers first (side streams + escape positions), then
+        # every token slice — all enqueued up front so the runtime streams
+        # them back-to-back over the link
+        _t0 = _time.monotonic()
+        side_parts = [p[1][: int(metas[i][1])] for i, p in enumerate(packed)]
+        esc_parts = [p[2][: int(metas[i][2])] for i, p in enumerate(packed)]
+        tok_parts: list = []
+        tok_spans: list = []
+        for i, p in enumerate(packed):
+            n_nz = int(metas[i][0])
+            spans = []
+            for a in range(0, n_nz, slice_bytes):
+                b = min(n_nz, a + slice_bytes)
+                tok_parts.append(p[0][a:b])
+                spans.append((a, b))
+            tok_spans.append(spans)
+        phase_s["slice"] = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
+        for part in (*side_parts, *esc_parts, *tok_parts):
+            try:
+                part.copy_to_host_async()
+            except AttributeError:
+                break
+        phase_s["enq"] = _time.monotonic() - _t0
+        _t0 = _time.monotonic()
+        sides = [np.asarray(s) for s in side_parts]
+        escs = [np.asarray(e) for e in esc_parts]
+        phase_s["aux"] = _time.monotonic() - _t0
+
+        # escape patch plan: plane-local folded indices, ascending across
+        # segments by construction; the batched gather is dispatched NOW so
+        # it rides the link while the token drain proceeds
+        esc_local = [e.astype(np.int64) + seg_off[i] for i, e in enumerate(escs)]
+        esc_idx = (np.concatenate(esc_local) if esc_local
+                   else np.empty(0, dtype=np.int64))
+        esc_cut = np.cumsum([0] + [e.shape[0] for e in esc_local])
+        patch_fut = None
+        if esc_idx.shape[0]:
+            gather_pool = ThreadPoolExecutor(1)
+
+            def gather_and_place():
+                vals = _gather_escapes(dense, esc_idx)
+                u = (base + esc_idx).astype(np.uint64)
+                rc = _rc_codes_np(u, kmer_len)
+                pos = np.where(u <= rc, u, np.uint64(full - 1) - u)
+                return pos, vals
+
+            patch_fut = gather_pool.submit(gather_and_place)
+            gather_pool.shutdown(wait=False)
+
+        # token drain with the CPUs otherwise idle (the tunnel transport is
+        # in-process and CPU-bound; see stream_dense_to_out phase 1)
+        _t0 = _time.monotonic()
+        from ..utils.bigmem import big_empty as _bempty
+
+        tok_bufs = [_bempty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
+                    for i in range(n_segs)]
+        flat_jobs = []
+        pi = 0
+        for i, spans in enumerate(tok_spans):
+            for (a, b) in spans:
+                flat_jobs.append((i, a, b, tok_parts[pi]))
+                pi += 1
+
+        def drain(j: int) -> None:
+            i, a, b, part = flat_jobs[j]
+            tok_bufs[i][a:b] = np.asarray(part)
+
+        with ThreadPoolExecutor(FETCH_THREADS) as ex:
+            list(ex.map(drain, range(len(flat_jobs))))
+        del tok_parts, flat_jobs, packed
+        phase_s["d2h"] = _time.monotonic() - _t0
+
+        # decode workers + ascending chaser (patch + sink regions)
+        _t0 = _time.monotonic()
+        decoded = [_threading.Event() for _ in range(n_segs)]
+        state: dict = {}
+        seg_counts = [None] * n_segs
+
+        def work(i: int) -> None:
+            c = seg_off[i + 1] - seg_off[i]
+            counts = sparse_decode_segment_native(
+                tok_bufs[i], sides[i], out, kmer_len,
+                base + seg_off[i], c,
+            )
+            counts[0] += c - tok_bufs[i].shape[0]
+            seg_counts[i] = counts
+            tok_bufs[i] = None
+
+        def chaser() -> None:
+            pos = vals = None
+            try:
+                for i in range(n_segs):
+                    decoded[i].wait()
+                    if state.get("aborted"):
+                        return
+                    if patch_fut is not None:
+                        if pos is None:
+                            pos, vals = patch_fut.result()
+                            state["vals"] = vals
+                        a, b = esc_cut[i], esc_cut[i + 1]
+                        if b > a:
+                            out[pos[a:b]] = vals[a:b]
+                    if sink is not None:
+                        sink.region_done(base + seg_off[i],
+                                         base + seg_off[i + 1])
+            except BaseException as exc:  # surfaced on the main thread
+                state["error"] = exc
+
+        chase_thread = _threading.Thread(target=chaser, daemon=True)
+        chase_thread.start()
+
+        def work_chase(i: int) -> None:
+            try:
+                work(i)
+            finally:
+                decoded[i].set()
+
+        try:
+            with ThreadPoolExecutor(min(threads, 8)) as ex:
+                list(ex.map(work_chase, range(n_segs)))
+        except BaseException:
+            state["aborted"] = True
+            for ev in decoded:
+                ev.set()
+            chase_thread.join()
+            if sink is not None:
+                sink.abort()
+            raise
+        chase_thread.join()
+        err = state.get("error")
+        if err is not None:
+            if sink is not None:
+                sink.abort()
+            raise err
+        for c in seg_counts:
+            totals += c
+        if patch_fut is not None:
+            vals = state["vals"]
+            totals[ESCAPE2] -= vals.shape[0]
+            totals += np.bincount(vals, minlength=256)
+        phase_s["decode"] = _time.monotonic() - _t0
+
+    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+        import sys
+
+        print(
+            "  readback[sparse/chase]: " + "  ".join(
+                f"{k} {v:8.1f}s" for k, v in phase_s.items()
+            ),
+            file=sys.stderr,
+        )
+    return totals
+
+
 def stream_dense_to_out(
     dense: jax.Array,
     kmer_len: int,
@@ -553,6 +934,16 @@ def stream_dense_to_out(
     _t0 = _t.monotonic()
     mode = _pick_mode(dense, size, mode, escapes=escapes)
     _t_pick = _t.monotonic() - _t0
+
+    if mode == "sparse":
+        counts = _stream_sparse(dense, kmer_len, out, base, sink, threads,
+                                slice_bytes)
+        if counts is not None:
+            return _done(counts)
+        # a device-side cap overflowed (density beyond the static token
+        # capacities): 2bit is the cheapest fixed width wherever sparse was
+        # even a candidate (low-density planes)
+        mode = "2bit"
 
     if mode == "raw":
         folded = fetch_dense(dense, mode="raw")
@@ -848,22 +1239,370 @@ def stream_dense_planes_to_out(
     sink = (_ChaseSink(out, fd, hash_out)
             if (fd is not None or hash_out) else None)
     totals = np.zeros(256, dtype=np.int64)
+
+    # resolve each sub-plane's mode up front and dispatch EVERY sparse
+    # plane's device compaction before any drain starts: the device then
+    # packs plane q+1 while the host drains/decodes plane q (the pack is
+    # real device time that would otherwise serialise with the link)
+    modes = []
+    jobs = []
+    for q, p in enumerate(planes):
+        m = _pick_mode(p, int(np.prod(p.shape)), mode,
+                       escapes=None if escapes is None else escapes[q])
+        modes.append(m)
+        jobs.append(_sparse_dispatch(p) if m == "sparse" else None)
+
     base = 0
     for q in range(len(planes)):
         p, planes[q] = planes[q], None
         size = int(np.prod(p.shape))
-        totals += stream_dense_to_out(
-            p, kmer_len, out, mode=mode,
-            slice_bytes=slice_bytes, threads=threads,
-            escapes=None if escapes is None else escapes[q],
-            base=base, sink=sink,
-        )
+        if jobs[q] is not None:
+            counts = _stream_sparse(p, kmer_len, out, base, sink, threads,
+                                    slice_bytes, job=jobs[q])
+            jobs[q] = None
+            if counts is None:  # cap overflow: fixed-width fallback
+                counts = stream_dense_to_out(
+                    p, kmer_len, out, mode="2bit",
+                    slice_bytes=slice_bytes, threads=threads,
+                    base=base, sink=sink,
+                )
+        else:
+            counts = stream_dense_to_out(
+                p, kmer_len, out, mode=modes[q],
+                slice_bytes=slice_bytes, threads=threads,
+                base=base, sink=sink,
+            )
+        totals += counts
         del p  # free the sub-plane's HBM before packing the next one
         base += size
     if sink is not None:
         hex_ = sink.finish()
         return (totals, hex_) if hash_out else totals
     return totals
+
+
+class _PieceSink:
+    """pwrite + ordered sha256 for the arena-free piece readback.
+
+    ``piece_done(lo, hi, primary, mirror)`` takes the two unfolded buffers of
+    one first-half range [lo, hi): primary belongs at file offset ``lo``,
+    mirror at ``full - hi``. Calls must arrive in ascending ``lo`` order (the
+    single decode worker guarantees it); the sha256 frontier advances over
+    the primaries, and the second half — whose file order is the REVERSE of
+    completion order — is hashed in :meth:`finish` by reading the written
+    file back (O_DIRECT, ~3 GB/s; the hash itself is the serial floor).
+    Buffers stay alive until their pwrites land (the futures hold the refs);
+    a backpressure cap keeps at most ~8 pieces in flight."""
+
+    def __init__(self, fd, full: int, hash_out: bool, path: Optional[str]):
+        import hashlib
+
+        assert fd is not None, "piece mode writes through a file"
+        self.fd = fd
+        self.full = full
+        self.path = path
+        self.h = hashlib.sha256() if hash_out else None
+        if hash_out and not path:
+            raise ValueError("hash_out in piece mode needs the file path "
+                             "(second-half hash reads the file back)")
+        self.writers = ThreadPoolExecutor(2)
+        self._futs: list = []
+        self.expected = 0
+
+    def piece_done(self, lo: int, hi: int, primary: np.ndarray,
+                   mirror: np.ndarray) -> None:
+        n = hi - lo
+        if n <= 0:
+            return
+        # closures keep the (pooled) buffers alive until the writes land
+        self._futs.append(
+            self.writers.submit(_pwrite_all, self.fd, primary[:n], lo)
+        )
+        self._futs.append(
+            self.writers.submit(_pwrite_all, self.fd, mirror[:n],
+                                self.full - hi)
+        )
+        while len(self._futs) > 16:
+            self._futs.pop(0).result()
+        if self.h is not None:
+            assert lo == self.expected, (lo, self.expected)
+            self.h.update(primary[:n])
+            self.expected = hi
+
+    def finish(self) -> Optional[str]:
+        self.writers.shutdown(wait=True)
+        for f in self._futs:
+            f.result()
+        self._futs = []
+        if self.h is None:
+            return None
+        assert self.expected == self.full // 2, (self.expected, self.full)
+        from ..io.direct import DirectReader, pread_into_mt
+        from ..utils.bigmem import big_empty
+
+        chunk = 256 << 20
+        buf = big_empty(chunk)
+        reader = DirectReader(self.path)
+        try:
+            pos = self.full // 2
+            while pos < self.full:
+                n = min(chunk, self.full - pos)
+                got = pread_into_mt(reader, buf[:n], pos, threads=2)
+                assert got == n
+                self.h.update(buf[:n])
+                pos += n
+        finally:
+            reader.close()
+        return self.h.hexdigest()
+
+    def abort(self) -> None:
+        self.writers.shutdown(wait=True)
+
+
+def stream_sparse_planes_pieces(
+    planes,
+    kmer_len: int,
+    fd,
+    path: str,
+    escapes,
+    hash_out: bool = False,
+    threads: int = FETCH_THREADS,
+    slice_bytes: int = SLICE_BYTES,
+):
+    """Arena-free readback of a multi-sub-plane folded space (K >= 17).
+
+    Equivalent result to :func:`stream_dense_planes_to_out` with ``fd`` +
+    ``hash_out``, but NO 4^K host arena exists: each segment's sparse tokens
+    decode into two pooled piece buffers that are pwritten (and hashed)
+    directly. On the target guest the 17 GiB arena's MAP_POPULATE alone
+    costs ~60 s and fights the dispatch pipeline for the 2 cores — this
+    path caps host memory at a few piece buffers (~1.5 GB).
+
+    Pipelining: all planes' device compactions are dispatched up front; the
+    main thread walks planes fetching metas and draining token transfers
+    while ONE background worker decodes finished segments in order (native
+    decode releases the GIL, so the in-process transfer transport keeps a
+    core; set PYKMER_TPU_SPARSE_OVERLAP=0 to serialise if a deployment's
+    links degrade).
+
+    Requires every plane to be sparse-eligible by the pre-dispatched escape
+    counts; returns None if not (caller takes the arena path). Density
+    beyond the static caps in one plane is still handled — that plane
+    materialises via the fixed-width fetch and unfolds to pieces.
+
+    Returns (counts int64[256], sha256-hex | None)."""
+    if escapes is None or fd is None:
+        return None
+    if not isinstance(planes, list):
+        planes = list(planes)
+    sizes = [int(np.prod(p.shape)) for p in planes]
+    full = 2 * sum(sizes)
+    for p, sz, esc in zip(planes, sizes, escapes):
+        vals = tuple(int(v) for v in esc)
+        if len(vals) != 4:
+            return None
+        if not _sparse_viable(p, sz, vals[1]) or vals[0] > sz // 8:
+            return None
+
+    import time as _time
+
+    from ..formats.header import fast_counts256
+    from ..io.native import sparse_decode_segment_piece_native
+    from ..utils.bigmem import big_empty
+    from ..utils.keepalive import keepalive_suspended
+
+    overlap = os.environ.get("PYKMER_TPU_SPARSE_OVERLAP", "1") != "0"
+    jobs = [_sparse_dispatch(p) for p in planes]
+    psink = _PieceSink(fd, full, hash_out, path)
+    totals = np.zeros(256, dtype=np.int64)
+    decode_pool = ThreadPoolExecutor(1)
+    gather_pool = ThreadPoolExecutor(1)
+    decode_futs: list = []
+    patch_adjust: list = []  # (n_esc, vals-future) per plane
+    phase_s = {"meta": 0.0, "drain": 0.0, "decode_wait": 0.0, "fb": 0.0}
+
+    def decode_task(tok, side, esc_pos_seg, vals_fut, vals_cut, plane_base,
+                    seg_lo, seg_len):
+        primary = big_empty(seg_len)
+        mirror = big_empty(seg_len)
+        counts = sparse_decode_segment_piece_native(
+            tok, side, primary, mirror, kmer_len, plane_base + seg_lo,
+            seg_len,
+        )
+        counts[0] += seg_len - tok.shape[0]
+        if esc_pos_seg.shape[0]:
+            vals = vals_fut.result()[vals_cut[0] : vals_cut[1]]
+            # int64 first: plane_base exceeds int32 from the third K=17
+            # sub-plane on, and numpy would refuse the mixed add
+            u = (esc_pos_seg.astype(np.int64)
+                 + (plane_base + seg_lo)).astype(np.uint64)
+            rc = _rc_codes_np(u, kmer_len)
+            canon = u <= rc
+            prim_idx = esc_pos_seg[canon]
+            primary[prim_idx] = vals[canon]
+            mirr_idx = seg_len - 1 - esc_pos_seg[~canon]
+            mirror[mirr_idx] = vals[~canon]
+        lo = plane_base + seg_lo
+        psink.piece_done(lo, lo + seg_len, primary, mirror)
+        return counts
+
+    try:
+        with keepalive_suspended():
+            base = 0
+            for q in range(len(planes)):
+                p, planes[q] = planes[q], None
+                job, jobs[q] = jobs[q], None
+                packed = job["packed"]
+                seg_off = job["seg_off"]
+                n_segs = len(seg_off) - 1
+                _t0 = _time.monotonic()
+                metas = np.asarray(job["meta_dev"])
+                phase_s["meta"] += _time.monotonic() - _t0
+                overflow = False
+                for i in range(n_segs):
+                    c = seg_off[i + 1] - seg_off[i]
+                    cap, aux = _sparse_caps(c)
+                    n_nz, n_long, n_esc = (int(v) for v in metas[i])
+                    if n_nz > cap or n_long > aux or n_esc > aux:
+                        overflow = True
+                if overflow:
+                    # pathological segment density: wait for sink order,
+                    # then materialise this plane the fixed-width way and
+                    # unfold it to pieces
+                    _t0 = _time.monotonic()
+                    for f in decode_futs:
+                        totals += f.result()
+                    decode_futs.clear()
+                    folded = fetch_dense(p, mode="2bit")
+                    totals += fast_counts256(folded)
+                    seg = _sparse_seg_cells()
+                    for lo in range(0, sizes[q], seg):
+                        n = min(seg, sizes[q] - lo)
+                        prim, mirr, _ = unfold_piece(
+                            folded[lo : lo + n], kmer_len, base + lo
+                        )
+                        psink.piece_done(base + lo, base + lo + n, prim, mirr)
+                    del folded, p
+                    base += sizes[q]
+                    phase_s["fb"] += _time.monotonic() - _t0
+                    continue
+
+                # aux + token transfers (enqueued up front, drained with the
+                # main thread; the lone decode worker runs native code that
+                # releases the GIL)
+                side_parts = [packed[i][1][: int(metas[i][1])]
+                              for i in range(n_segs)]
+                esc_parts = [packed[i][2][: int(metas[i][2])]
+                             for i in range(n_segs)]
+                tok_parts: list = []
+                tok_spans: list = []
+                for i in range(n_segs):
+                    n_nz = int(metas[i][0])
+                    spans = []
+                    for a in range(0, n_nz, slice_bytes):
+                        b = min(n_nz, a + slice_bytes)
+                        tok_parts.append(packed[i][0][a:b])
+                        spans.append((a, b))
+                    tok_spans.append(spans)
+                for part in (*side_parts, *esc_parts, *tok_parts):
+                    try:
+                        part.copy_to_host_async()
+                    except AttributeError:
+                        break
+                sides = [np.asarray(s) for s in side_parts]
+                escs = [np.asarray(e) for e in esc_parts]
+
+                # per-plane escape gather, dispatched before the token drain
+                esc_sizes = [e.shape[0] for e in escs]
+                esc_cut = np.cumsum([0] + esc_sizes)
+                n_esc_plane = int(esc_cut[-1])
+                if n_esc_plane:
+                    esc_idx = np.concatenate(
+                        [e.astype(np.int64) + seg_off[i]
+                         for i, e in enumerate(escs)]
+                    )
+                    vals_fut = gather_pool.submit(_gather_escapes, p, esc_idx)
+                    patch_adjust.append((n_esc_plane, vals_fut))
+                else:
+                    vals_fut = None
+
+                _t0 = _time.monotonic()
+                # pooled: a malloc'd 98 MB/plane buffer would be
+                # munmapped on release and re-faulted every plane (~370 us
+                # per 4 KiB page on this guest)
+                tok_bufs = [big_empty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
+                            for i in range(n_segs)]
+                flat_jobs = []
+                pi = 0
+                for i, spans in enumerate(tok_spans):
+                    for (a, b) in spans:
+                        flat_jobs.append((i, a, b, tok_parts[pi]))
+                        pi += 1
+
+                def drain(j: int) -> None:
+                    i, a, b, part = flat_jobs[j]
+                    tok_bufs[i][a:b] = np.asarray(part)
+
+                with ThreadPoolExecutor(threads) as ex:
+                    list(ex.map(drain, range(len(flat_jobs))))
+                del tok_parts, flat_jobs, packed, job
+                phase_s["drain"] += _time.monotonic() - _t0
+
+                for i in range(n_segs):
+                    c = seg_off[i + 1] - seg_off[i]
+                    fut = decode_pool.submit(
+                        decode_task, tok_bufs[i], sides[i], escs[i],
+                        vals_fut, (int(esc_cut[i]), int(esc_cut[i + 1])),
+                        base, seg_off[i], c,
+                    )
+                    decode_futs.append(fut)
+                tok_bufs = None
+                if not overlap:
+                    _t0 = _time.monotonic()
+                    for f in decode_futs:
+                        totals += f.result()
+                    decode_futs.clear()
+                    phase_s["decode_wait"] += _time.monotonic() - _t0
+                del p
+                base += sizes[q]
+
+            _t0 = _time.monotonic()
+            for f in decode_futs:
+                totals += f.result()
+            decode_futs.clear()
+            phase_s["decode_wait"] += _time.monotonic() - _t0
+            for n_esc, vals_fut in patch_adjust:
+                vals = vals_fut.result()
+                totals[ESCAPE2] -= n_esc
+                totals += np.bincount(vals, minlength=256)
+    except BaseException:
+        # surface the first decode failure but never leave writers running
+        # against an fd the caller is about to close
+        for f in decode_futs:
+            try:
+                f.result()
+            except BaseException:
+                pass
+        psink.abort()
+        decode_pool.shutdown(wait=True)
+        gather_pool.shutdown(wait=True)
+        raise
+    decode_pool.shutdown(wait=True)
+    gather_pool.shutdown(wait=True)
+    _t0 = _time.monotonic()
+    hex_ = psink.finish()
+    phase_s["finish"] = _time.monotonic() - _t0
+
+    if os.environ.get("PYKMER_TPU_STAGE_TIMING"):
+        import sys
+
+        print(
+            "  readback[sparse/pieces]: " + "  ".join(
+                f"{k} {v:8.1f}s" for k, v in phase_s.items()
+            ),
+            file=sys.stderr,
+        )
+    return (totals, hex_) if hash_out else (totals, None)
 
 
 def _write_and_hash(fd, arr: np.ndarray) -> str:

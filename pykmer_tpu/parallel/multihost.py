@@ -238,15 +238,22 @@ def combine_partials_sharded(
             partial[s0:s1].reshape(1, cur), gmesh, P("host", "d")
         )
         combined = combine(garr)
-        # host-major output sharding: this host's addressable shards are
-        # the slab's cells [pid*cur/H, (pid+1)*cur/H), in device order
-        piece = np.concatenate(
-            [np.asarray(sh.data) for sh in sorted(
-                combined.addressable_shards, key=lambda sh: sh.index[0].start
-            )]
+        # this host's addressable shards form one contiguous flat range of
+        # the slab; its offset is taken from the ACTUAL shard indices (not
+        # pid arithmetic, which silently assumes jax.devices() is host-major
+        # — a topology grouping device ids differently would otherwise
+        # pwrite the piece at the wrong file offset)
+        shards = sorted(
+            combined.addressable_shards, key=lambda sh: sh.index[0].start
         )
+        starts = [sh.index[0].start for sh in shards]
+        lens = [int(np.prod(sh.data.shape)) for sh in shards]
+        for i in range(1, len(shards)):
+            assert starts[i] == starts[i - 1] + lens[i - 1], (
+                "non-contiguous addressable shard ranges", starts, lens)
+        piece = np.concatenate([np.asarray(sh.data) for sh in shards])
         assert piece.shape[0] == cur // nproc
-        pieces.append((s0 + pid * (cur // nproc), piece))
+        pieces.append((s0 + starts[0], piece))
     return pieces
 
 

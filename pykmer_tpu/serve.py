@@ -115,6 +115,13 @@ def serve(stdin: Optional[TextIO] = None, stdout: Optional[TextIO] = None) -> in
             print(json.dumps({"ok": False, "error": f"bad json: {exc}"}),
                   file=stdout, flush=True)
             continue
+        if not isinstance(req, dict):
+            # a valid-JSON non-object line (list/string/number) must not
+            # crash the loop on req.get
+            print(json.dumps({"ok": False,
+                              "error": "request must be a JSON object"}),
+                  file=stdout, flush=True)
+            continue
         if req.get("cmd") == "shutdown":
             print(json.dumps({"ok": True, "cmd": "shutdown"}),
                   file=stdout, flush=True)

@@ -3,11 +3,104 @@
 import gzip
 import os
 import struct
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
 from pykmer_tpu.io import bgzf
+from reference_runner import REFERENCE_DIR
+
+
+def _run_reference_gzireader(gzi_path: str):
+    """Execute the reference's gzireader.py on a `.gzi` and parse its printed
+    (compressed_offset, uncompressed_offset) entries + entry count."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REFERENCE_DIR, "gzireader.py"), gzi_path],
+        capture_output=True, text=True, check=True,
+    )
+    entries = []
+    count = None
+    for line in proc.stdout.splitlines():
+        toks = line.replace(",", "").split()
+        if line.startswith("pos:"):
+            assert toks[2] == "compressed_offset" and toks[4] == "uncompressed_offset"
+            entries.append((int(toks[3]), int(toks[5])))
+        elif line.startswith("number_entries"):
+            count = int(toks[-1])
+    assert count == len(entries)
+    return entries
+
+
+def _scan_block_offsets(bgz_path: str):
+    """Independent block map from the raw BGZF headers: per block,
+    (compressed_offset, uncompressed_offset) of its START."""
+    size = os.path.getsize(bgz_path)
+    blocks = []
+    cofs = uofs = 0
+    with open(bgz_path, "rb") as fh:
+        while cofs < size:
+            fh.seek(cofs)
+            header = fh.read(18)
+            assert header[:4] == b"\x1f\x8b\x08\x04"
+            assert header[12:16] == b"BC\x02\x00"
+            (bsize,) = struct.unpack_from("<H", header, 16)
+            bsize += 1
+            fh.seek(cofs + bsize - 4)
+            (isize,) = struct.unpack("<I", fh.read(4))
+            blocks.append((cofs, uofs, isize))
+            uofs += isize
+            cofs += bsize
+    return blocks
+
+
+@pytest.mark.parametrize("payload", ["random", "compressible"])
+def test_gzi_matches_executed_reference(tmp_path, rng, payload):
+    """The reference's gzireader.py, executed on our `.gzi`, prints exactly
+    our writer's entries — and every entry matches the true block starts
+    from an independent header scan (block-for-block interop proof;
+    reference gzireader.py:21-37). Random payload exercises the
+    incompressible case (deflate expands; blocks stay < 64 KiB)."""
+    n = 5 * bgzf.BGZF_BLOCK_SIZE + 12345
+    if payload == "random":
+        data = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+    else:
+        data = (b"ACGTACGT" * (n // 8 + 1))[:n]
+    src = tmp_path / "payload.bin"
+    src.write_bytes(data)
+    bgz, gzi = bgzf.compress_file(str(src))
+
+    ref_entries = _run_reference_gzireader(gzi)
+    assert ref_entries == bgzf.read_gzi(gzi)
+
+    # htslib GZI layout: one entry per block AFTER the first
+    blocks = _scan_block_offsets(bgz)
+    data_blocks = [b for b in blocks if b[2] > 0]
+    assert len(ref_entries) == len(data_blocks) - 1
+    for (c, u), (bc, bu, _) in zip(ref_entries, data_blocks[1:]):
+        assert (c, u) == (bc, bu)
+    # and the payload itself round-trips
+    assert bgzf.decompress_file(bgz) == data
+
+
+def test_gzi_reference_many_blocks(tmp_path, rng):
+    """> 2^16 blocks: block count exceeds any 16-bit field, offsets keep
+    climbing past uint16/uint32-of-blocks edges; reference tool still prints
+    our index verbatim."""
+    n_blocks = (1 << 16) + 7
+    block = 64  # tiny blocks so the file stays ~4 MB
+    data = rng.integers(0, 256, size=n_blocks * block).astype(np.uint8).tobytes()
+    src = tmp_path / "many.bin"
+    src.write_bytes(data)
+    bgz, gzi = bgzf.compress_file(str(src), block_size=block)
+    ref_entries = _run_reference_gzireader(gzi)
+    assert len(ref_entries) == n_blocks - 1
+    assert ref_entries == bgzf.read_gzi(gzi)
+    assert ref_entries[-1][1] == (n_blocks - 1) * block
+    # spot-check random access off a far entry through our reader
+    c_off, u_off = ref_entries[1 << 16]
+    assert bgzf.read_block_at(bgz, c_off) == data[u_off : u_off + block]
 
 
 def test_bgzf_roundtrip(tmp_path, rng):
@@ -200,3 +293,33 @@ def test_native_joined_decode_mt_inplace(rng):
         assert np.array_equal(mt[0], st[0])
         assert mt[1] == st[1]
         assert mt[2] == st[2]
+
+
+def test_stale_gzi_sidecar_falls_back(tmp_path, rng):
+    """A .gzi left behind after the .bgz was regenerated (offsets now wrong)
+    must not poison reads: BgzfBlockIndex detects the mismatch and rebuilds
+    the map from the block headers (ADVICE r3 #2)."""
+    n = 3 * bgzf.BGZF_BLOCK_SIZE + 500
+    data1 = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+    src = tmp_path / "p.bin"
+    src.write_bytes(data1)
+    bgz, gzi = bgzf.compress_file(str(src))
+    # regenerate the .bgz with different (compressible -> shorter) content
+    data2 = (b"AC" * (n // 2 + 1))[:n]
+    src.write_bytes(data2)
+    bgzf.compress_file(str(src), bgz, write_index=False)
+    assert os.path.exists(gzi)  # stale sidecar still present
+    idx = bgzf.BgzfBlockIndex(bgz)
+    assert idx.uncompressed_size == n
+    reader = bgzf.BgzfRangeReader(bgz)
+    try:
+        out = np.empty(n, dtype=np.uint8)
+        got = reader.read_into(out, 0)
+        assert got == n and out.tobytes() == data2
+    finally:
+        reader.close()
+    # garbage sidecar bytes (short/invalid) also fall back rather than crash
+    with open(gzi, "wb") as fh:
+        fh.write(b"\x07\x00")
+    idx2 = bgzf.BgzfBlockIndex(bgz)
+    assert idx2.uncompressed_size == n
