@@ -77,6 +77,13 @@ def resolve_chunk_windows(
     import jax
 
     cw = (1 << 24) if jax.default_backend() == "tpu" else (1 << 22)
+    if jax.default_backend() == "tpu" and 4 ** config.kmer_len // 2 > (1 << 30):
+        # multi-sub-plane count spaces (K >= 16): every chunk sweeps EVERY
+        # sub-plane (a full-plane HBM pass + 16K-tile grid each), so bigger
+        # chunks amortise it — measured K=17 dispatch 49 s -> 8.7 s at 2^26
+        # windows (the +18% tail-padding sentinels are far cheaper than the
+        # extra plane passes)
+        cw = 1 << 26
     if input_hint_bytes is not None and input_hint_bytes > 0:
         # window count <= base count <= raw byte count
         need = 1 << 16

@@ -460,18 +460,57 @@ def _sparse_seg_cells() -> int:
                1 << 28)
 
 
+# fetch grains: device slices MUST use data-independent bounds — a bound
+# derived from n_nz would mint a fresh XLA slice program every run (static
+# offsets in HLO), paying a compile + in-band executable load PER SLICE on
+# tunneled links (measured: 47 s of a 109 s K=17 run before this). Fetches
+# round up to whole grains instead (≤ one grain of wire waste per array).
+_TOK_GRAIN = 1 << 22   # token slice grain (4 MB)
+_AUX_GRAIN = 1 << 17   # side/escape slice grain (512 KB of int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _sparse_caps(seg_cells: int) -> Tuple[int, int]:
     """(token capacity, side/escape capacity) for one segment.
 
     The token cap prices the aux compaction sorts (they run over [cap]), so
-    it is deliberately tight: 20% density, vs the ~12.5% global-density gate
+    it is deliberately tight: ~20% density, vs the ~12.5% global-density gate
     in :func:`_pick_mode` — the slack absorbs composition skew between a
     plane's segments (GC-content concentrates codes in parts of the code
     space). Overflow falls back to the 2-bit plane, which is priced better
-    at such densities anyway."""
+    at such densities anyway. Caps are whole multiples of the fetch grains
+    (or the full segment) so every fetch slice has fixed, data-independent
+    bounds."""
     cap = min(max(seg_cells // 5, 64), seg_cells)
+    cap = min(_round_up(cap, _TOK_GRAIN), seg_cells)
     aux = min(max(seg_cells // 128, 64), seg_cells)
+    aux = min(_round_up(aux, _AUX_GRAIN), seg_cells)
     return cap, aux
+
+
+def _prefix_parts(dev: jax.Array, n: int, grain: int):
+    """Device slices with FIXED bounds covering dev[:n] (whole grains)."""
+    grain = min(grain, dev.shape[0])
+    parts = []
+    for a in range(0, n, grain):
+        parts.append(jax.lax.slice(dev, (a,), (a + grain,)))
+    return parts
+
+
+def _assemble_prefix(parts, n: int, out: np.ndarray, offset: int = 0) -> None:
+    """Copy fetched grain parts into out[offset:offset+n] (clipping the
+    final grain)."""
+    pos = 0
+    for part in parts:
+        if pos >= n:
+            break
+        arr = np.asarray(part)
+        take = min(arr.shape[0], n - pos)
+        out[offset + pos : offset + pos + take] = arr[:take]
+        pos += take
 
 
 def _sparse_enabled() -> bool:
@@ -711,29 +750,38 @@ def _stream_sparse(
         # every token slice — all enqueued up front so the runtime streams
         # them back-to-back over the link
         _t0 = _time.monotonic()
-        side_parts = [p[1][: int(metas[i][1])] for i, p in enumerate(packed)]
-        esc_parts = [p[2][: int(metas[i][2])] for i, p in enumerate(packed)]
-        tok_parts: list = []
-        tok_spans: list = []
-        for i, p in enumerate(packed):
-            n_nz = int(metas[i][0])
-            spans = []
-            for a in range(0, n_nz, slice_bytes):
-                b = min(n_nz, a + slice_bytes)
-                tok_parts.append(p[0][a:b])
-                spans.append((a, b))
-            tok_spans.append(spans)
+        side_parts = [
+            _prefix_parts(p[1], int(metas[i][1]), _AUX_GRAIN)
+            for i, p in enumerate(packed)
+        ]
+        esc_parts = [
+            _prefix_parts(p[2], int(metas[i][2]), _AUX_GRAIN)
+            for i, p in enumerate(packed)
+        ]
+        tok_parts = [
+            _prefix_parts(p[0], int(metas[i][0]), _TOK_GRAIN)
+            for i, p in enumerate(packed)
+        ]
         phase_s["slice"] = _time.monotonic() - _t0
         _t0 = _time.monotonic()
-        for part in (*side_parts, *esc_parts, *tok_parts):
-            try:
-                part.copy_to_host_async()
-            except AttributeError:
-                break
+        for plist in (*side_parts, *esc_parts, *tok_parts):
+            for part in plist:
+                try:
+                    part.copy_to_host_async()
+                except AttributeError:
+                    break
         phase_s["enq"] = _time.monotonic() - _t0
         _t0 = _time.monotonic()
-        sides = [np.asarray(s) for s in side_parts]
-        escs = [np.asarray(e) for e in esc_parts]
+        sides = []
+        escs = []
+        for i in range(n_segs):
+            n_long, n_esc = int(metas[i][1]), int(metas[i][2])
+            s_arr = np.empty(n_long, dtype=np.int32)
+            _assemble_prefix(side_parts[i], n_long, s_arr)
+            sides.append(s_arr)
+            e_arr = np.empty(n_esc, dtype=np.int32)
+            _assemble_prefix(esc_parts[i], n_esc, e_arr)
+            escs.append(e_arr)
         phase_s["aux"] = _time.monotonic() - _t0
 
         # escape patch plan: plane-local folded indices, ascending across
@@ -765,15 +813,18 @@ def _stream_sparse(
         tok_bufs = [_bempty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
                     for i in range(n_segs)]
         flat_jobs = []
-        pi = 0
-        for i, spans in enumerate(tok_spans):
-            for (a, b) in spans:
-                flat_jobs.append((i, a, b, tok_parts[pi]))
-                pi += 1
+        for i, plist in enumerate(tok_parts):
+            n_nz = int(metas[i][0])
+            pos = 0
+            for part in plist:
+                g = int(part.shape[0])
+                flat_jobs.append((i, pos, min(n_nz, pos + g), part))
+                pos += g
 
         def drain(j: int) -> None:
             i, a, b, part = flat_jobs[j]
-            tok_bufs[i][a:b] = np.asarray(part)
+            if b > a:
+                tok_bufs[i][a:b] = np.asarray(part)[: b - a]
 
         with ThreadPoolExecutor(FETCH_THREADS) as ex:
             list(ex.map(drain, range(len(flat_jobs))))
@@ -1412,7 +1463,14 @@ def stream_sparse_planes_pieces(
     from ..utils.keepalive import keepalive_suspended
 
     overlap = os.environ.get("PYKMER_TPU_SPARSE_OVERLAP", "1") != "0"
-    jobs = [_sparse_dispatch(p) for p in planes]
+    # STAGED dispatch, one plane ahead: d2h copies overlap compute on this
+    # backend, but the stream is FIFO — dispatching ALL packs up front would
+    # put every token-slice program behind every pack, idling the link for
+    # the whole pack phase (~21 s at K=17). Dispatching plane q+1's pack
+    # right after plane q's transfers are enqueued lets q's copies ride out
+    # while q+1 packs.
+    jobs: list = [None] * len(planes)
+    jobs[0] = _sparse_dispatch(planes[0])
     psink = _PieceSink(fd, full, hash_out, path)
     totals = np.zeros(256, dtype=np.int64)
     decode_pool = ThreadPoolExecutor(1)
@@ -1469,6 +1527,8 @@ def stream_sparse_planes_pieces(
                     # pathological segment density: wait for sink order,
                     # then materialise this plane the fixed-width way and
                     # unfold it to pieces
+                    if q + 1 < len(planes):
+                        jobs[q + 1] = _sparse_dispatch(planes[q + 1])
                     _t0 = _time.monotonic()
                     for f in decode_futs:
                         totals += f.result()
@@ -1489,30 +1549,47 @@ def stream_sparse_planes_pieces(
 
                 # aux + token transfers (enqueued up front, drained with the
                 # main thread; the lone decode worker runs native code that
-                # releases the GIL)
-                side_parts = [packed[i][1][: int(metas[i][1])]
-                              for i in range(n_segs)]
-                esc_parts = [packed[i][2][: int(metas[i][2])]
-                             for i in range(n_segs)]
-                tok_parts: list = []
-                tok_spans: list = []
+                # releases the GIL). All slices have FIXED grain-aligned
+                # bounds — see _TOK_GRAIN on why data-dependent bounds are
+                # catastrophic on tunneled links.
+                _t0 = _time.monotonic()
+                side_parts = [
+                    _prefix_parts(packed[i][1], int(metas[i][1]), _AUX_GRAIN)
+                    for i in range(n_segs)
+                ]
+                esc_parts = [
+                    _prefix_parts(packed[i][2], int(metas[i][2]), _AUX_GRAIN)
+                    for i in range(n_segs)
+                ]
+                tok_parts = [
+                    _prefix_parts(packed[i][0], int(metas[i][0]), _TOK_GRAIN)
+                    for i in range(n_segs)
+                ]
+                for plist in (*side_parts, *esc_parts, *tok_parts):
+                    for part in plist:
+                        try:
+                            part.copy_to_host_async()
+                        except AttributeError:
+                            break
+                phase_s["slice"] = phase_s.get("slice", 0.0) + \
+                    (_time.monotonic() - _t0)
+                _t0 = _time.monotonic()
+                sides = []
+                escs = []
                 for i in range(n_segs):
-                    n_nz = int(metas[i][0])
-                    spans = []
-                    for a in range(0, n_nz, slice_bytes):
-                        b = min(n_nz, a + slice_bytes)
-                        tok_parts.append(packed[i][0][a:b])
-                        spans.append((a, b))
-                    tok_spans.append(spans)
-                for part in (*side_parts, *esc_parts, *tok_parts):
-                    try:
-                        part.copy_to_host_async()
-                    except AttributeError:
-                        break
-                sides = [np.asarray(s) for s in side_parts]
-                escs = [np.asarray(e) for e in esc_parts]
+                    n_long, n_esc = int(metas[i][1]), int(metas[i][2])
+                    s_arr = np.empty(n_long, dtype=np.int32)
+                    _assemble_prefix(side_parts[i], n_long, s_arr)
+                    sides.append(s_arr)
+                    e_arr = np.empty(n_esc, dtype=np.int32)
+                    _assemble_prefix(esc_parts[i], n_esc, e_arr)
+                    escs.append(e_arr)
+                phase_s["auxw"] = phase_s.get("auxw", 0.0) + \
+                    (_time.monotonic() - _t0)
 
                 # per-plane escape gather, dispatched before the token drain
+                # AND before the next plane's pack (a gather queued behind
+                # a 2.6 s pack would stall the decode worker's patches)
                 esc_sizes = [e.shape[0] for e in escs]
                 esc_cut = np.cumsum([0] + esc_sizes)
                 n_esc_plane = int(esc_cut[-1])
@@ -1525,6 +1602,11 @@ def stream_sparse_planes_pieces(
                     patch_adjust.append((n_esc_plane, vals_fut))
                 else:
                     vals_fut = None
+                # next plane's compaction packs while this plane's token
+                # copies ride the link (copies overlap compute; see the
+                # staged-dispatch note above)
+                if q + 1 < len(planes):
+                    jobs[q + 1] = _sparse_dispatch(planes[q + 1])
 
                 _t0 = _time.monotonic()
                 # pooled: a malloc'd 98 MB/plane buffer would be
@@ -1532,16 +1614,22 @@ def stream_sparse_planes_pieces(
                 # per 4 KiB page on this guest)
                 tok_bufs = [big_empty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
                             for i in range(n_segs)]
+                phase_s["alloc"] = phase_s.get("alloc", 0.0) + \
+                    (_time.monotonic() - _t0)
+                _t0 = _time.monotonic()
                 flat_jobs = []
-                pi = 0
-                for i, spans in enumerate(tok_spans):
-                    for (a, b) in spans:
-                        flat_jobs.append((i, a, b, tok_parts[pi]))
-                        pi += 1
+                for i, plist in enumerate(tok_parts):
+                    n_nz = int(metas[i][0])
+                    pos = 0
+                    for part in plist:
+                        g = int(part.shape[0])
+                        flat_jobs.append((i, pos, min(n_nz, pos + g), part))
+                        pos += g
 
                 def drain(j: int) -> None:
                     i, a, b, part = flat_jobs[j]
-                    tok_bufs[i][a:b] = np.asarray(part)
+                    if b > a:
+                        tok_bufs[i][a:b] = np.asarray(part)[: b - a]
 
                 with ThreadPoolExecutor(threads) as ex:
                     list(ex.map(drain, range(len(flat_jobs))))
