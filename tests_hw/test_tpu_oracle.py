@@ -158,3 +158,61 @@ def test_compiled_multiplane_and_packed_readback(rng, tmp_path, monkeypatch):
     assert np.array_equal(got, want)
     meta = json.load(open(h.metadata_file))
     assert meta["vals_max"] == int(want.max())
+
+
+def test_sparse_readback_hw(rng, tmp_path, monkeypatch):
+    """Sparse token-stream readback on the REAL backend: the device
+    compaction (value-in-key unstable sort, side/escape compaction) must be
+    bit-exact against the host oracle — lowering differences between XLA:CPU
+    and the TPU backend cannot be caught by tests/ (r3 precedent: a kernel
+    that was bit-exact in interpret mode miscompiled on hardware)."""
+    import hashlib
+
+    import jax.numpy as jnp
+
+    from pykmer_tpu.ops.readback import (
+        count_all_escapes,
+        stream_dense_to_out,
+        stream_sparse_planes_pieces,
+        unfold_canonical,
+    )
+
+    monkeypatch.setenv("PYKMER_TPU_SPARSE_SEG", str(1 << 18))
+    k = 11
+    fold = 4**k // 2  # 2M cells, 8 segments
+    folded = np.zeros(fold, dtype=np.uint8)
+    nz = rng.random(fold) < 0.06
+    vals = rng.choice([1, 1, 1, 1, 2, 3, 9, 255], size=fold).astype(np.uint8)
+    folded[nz] = vals[nz]
+    folded[1000:9000] = 0  # long gaps
+    dense = jnp.asarray(folded.reshape(-1, 128))
+
+    exp = unfold_canonical(folded, k)
+    out = np.empty(4**k, dtype=np.uint8)
+    counts, hex_ = stream_dense_to_out(dense, k, out, mode="sparse",
+                                       hash_out=True)
+    assert np.array_equal(counts, np.bincount(folded, minlength=256))
+    assert np.array_equal(out, exp)
+    assert hex_ == hashlib.sha256(exp).hexdigest()
+
+    # arena-free pieces path on hardware (two planes through one file)
+    monkeypatch.setenv("PYKMER_TPU_SPARSE_MIN", "1")
+    half = fold // 2
+    planes = [
+        jnp.asarray(folded[:half].reshape(-1, 128)),
+        jnp.asarray(folded[half:].reshape(-1, 128)),
+    ]
+    escapes = [count_all_escapes(p) for p in planes]
+    path = str(tmp_path / "hw_pieces.bin")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        os.ftruncate(fd, 4**k)
+        res = stream_sparse_planes_pieces(planes, k, fd, path, escapes,
+                                          hash_out=True)
+    finally:
+        os.close(fd)
+    assert res is not None
+    counts2, hex2 = res
+    assert np.array_equal(counts2, np.bincount(folded, minlength=256))
+    assert hex2 == hashlib.sha256(exp).hexdigest()
+    assert np.array_equal(np.fromfile(path, dtype=np.uint8), exp)
