@@ -1448,10 +1448,17 @@ def stream_sparse_planes_pieces(
         planes = list(planes)
     sizes = [int(np.prod(p.shape)) for p in planes]
     full = 2 * sum(sizes)
-    for p, sz, esc in zip(planes, sizes, escapes):
-        vals = tuple(int(v) for v in esc)
-        if len(vals) != 4:
-            return None
+    rows = [tuple(esc) for esc in escapes]
+    if any(len(r) != 4 for r in rows):
+        return None
+    if any(isinstance(v, jax.Array) for r in rows for v in r):
+        # ONE fused transfer: per-scalar int() fetches each pay a full RPC
+        # round trip on tunneled links (4 scalars x 8 planes)
+        rows = np.asarray(
+            _concat_metas([jnp.stack(list(r)) for r in rows])
+        ).tolist()
+    for p, sz, vals in zip(planes, sizes, rows):
+        vals = tuple(int(v) for v in vals)
         if not _sparse_viable(p, sz, vals[1]) or vals[0] > sz // 8:
             return None
 

@@ -274,9 +274,16 @@ def test_two_process_bgz_input_byte_split(tmp_path, rng):
         assert fh.read() == want
 
 
-def test_two_process_gz_input_window_slice(tmp_path, rng):
-    """Compressed inputs have no raw-byte random access, so the job falls
-    back to full-decode + window slicing — must still be byte-identical."""
+import pytest
+
+
+@pytest.mark.parametrize("stage", ["1", "0"])
+def test_two_process_gz_input_window_slice(tmp_path, rng, stage):
+    """Plain-gzip inputs: by default host 0 inflates ONCE to a staged
+    sibling that all hosts byte-range-read (shared-FS assumption, same as
+    the sharded writer); with staging disabled the job falls back to
+    full-decode + window slicing. Both must be byte-identical to the
+    single-process build, and the staged file must be cleaned up."""
     import gzip
     import os
     import subprocess
@@ -307,7 +314,8 @@ def test_two_process_gz_input_window_slice(tmp_path, rng):
 
     port = _free_port()
     env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
+        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")]),
+        "PYKMER_TPU_MULTIHOST_GZ_STAGE": stage}
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
@@ -322,6 +330,8 @@ def test_two_process_gz_input_window_slice(tmp_path, rng):
         assert p.returncode == 0, out
     with open(f"{gz2}.{k:02d}.kin", "rb") as fh:
         assert fh.read() == want
+    assert not os.path.exists(gz2 + ".inflated.tmp")
+    assert not os.path.exists(gz2 + ".inflated.tmp.part")
 
 
 def test_three_process_uneven_records(tmp_path, rng):
