@@ -471,6 +471,40 @@ def _pairwise_matrix_device(
     return np.asarray(acc, dtype=np.int64)
 
 
+def iter_kin_cells(path: str, buffer_size: int = 1 << 16):
+    """Byte-at-a-time iterator over a `.kin[.bgz]`'s cells (reference
+    ``Header.__iter__``, tools.py:527-533: buffered reads of the opened
+    index stream, yielding one int per cell)."""
+    from ..formats import kin as kinfmt
+
+    with kinfmt.open_kin_stream(path) as fh:
+        cs = fh.read(buffer_size)
+        while cs:
+            yield from cs
+            cs = fh.read(buffer_size)
+
+
+def pair_counts_scalar(
+    a_path: str,
+    b_path: str,
+    min_count: int = MergeConfig.min_count,
+    max_count: int = MergeConfig.max_count,
+) -> Tuple[int, int, int]:
+    """Scalar cell-at-a-time pair counts — parity port of the reference's
+    unused fallback ``Header.calculate_distance2`` (tools.py:495-512): zip
+    the two cell iterators and range-test each pair. Kept for completeness
+    (the reference never calls it either); every production path uses
+    :func:`pair_counts_stream` or the engines in :func:`merge`."""
+    a_count = b_count = s_count = 0
+    for a_char, b_char in zip(iter_kin_cells(a_path), iter_kin_cells(b_path)):
+        a_valid = min_count <= a_char <= max_count
+        b_valid = min_count <= b_char <= max_count
+        a_count += 1 if a_valid else 0
+        b_count += 1 if b_valid else 0
+        s_count += 1 if a_valid and b_valid else 0
+    return a_count, b_count, s_count
+
+
 def pair_counts_stream(
     a_path: str,
     b_path: str,

@@ -206,3 +206,21 @@ def test_sharded_merge_matches_single_device(tmp_path, rng, monkeypatch):
     jb = json.load(open("sharded.001-255.kma.json"))
     ja["project_name"] = jb["project_name"] = "X"
     assert ja == jb
+
+
+def test_pair_counts_scalar_matches_stream(tmp_path, rng):
+    """The reference's unused scalar fallback (calculate_distance2,
+    tools.py:495-512) ported for completeness: byte-at-a-time cell iteration
+    agrees with the streamed counts on raw and .bgz inputs."""
+    from pykmer_tpu.io.bgzf import compress_file
+    from pykmer_tpu.merge.merger import pair_counts_scalar
+
+    kmer_len = 5
+    paths = _make_indexes(tmp_path, rng, n=2, kmer_len=kmer_len)
+    for mn, mx in [(1, 255), (2, 100)]:
+        want = pair_counts_stream(paths[0], paths[1], 4**kmer_len, mn, mx)
+        assert pair_counts_scalar(paths[0], paths[1], mn, mx) == want
+    # .bgz input path (reference opens those through gzip, tools.py:294-302)
+    bgz, _ = compress_file(paths[0], paths[0] + ".bgz")
+    want = pair_counts_stream(paths[0], paths[1], 4**kmer_len)
+    assert pair_counts_scalar(bgz, paths[1]) == want
