@@ -259,7 +259,9 @@ class KinHeader:
 
     def update_stats_from_file(self, index_file: str, block_size: int = 1 << 28) -> None:
         stats = array_stats(
-            kinfmt.iter_kin_blocks(index_file, self.data_size, block_size)
+            kinfmt.iter_kin_blocks(
+                index_file, self.data_size, block_size, reuse_buffer=True
+            )
         )
         for key, val in stats.items():
             setattr(self, key, val)

@@ -203,11 +203,35 @@ def create_fasta_index_multihost(
     plain_gz = input_file.endswith(".gz") and not input_file.endswith(".bgz")
     if nproc > 1 and plain_gz and \
             os.environ.get("PYKMER_TPU_MULTIHOST_GZ_STAGE", "1") != "0":
-        staged_gz = f"{input_file}.inflated.tmp"
+        # name keyed on (K, project): concurrent jobs over the same input
+        # with different parameters must not share (and mid-run delete)
+        # each other's staged file
+        import hashlib as _hashlib
+
+        job_tag = _hashlib.sha256(project_name.encode()).hexdigest()[:8]
+        staged_gz = f"{input_file}.{kmer_len:02d}.{job_tag}.inflated.tmp"
+        ok = True
         if is_main:
-            _stage_inflated(input_file, staged_gz)
-        multihost.allgather_small_json({"staged": pid})  # barrier: file ready
-        read_input = staged_gz
+            try:
+                _stage_inflated(input_file, staged_gz)
+            except OSError as exc:
+                # e.g. read-only input directory: fall back to the per-host
+                # full decode instead of killing the job
+                if verbose:
+                    print(f"gz staging failed ({exc}); "
+                          f"falling back to per-host decode")
+                ok = False
+        # barrier doubles as the staging verdict broadcast
+        ok = all(
+            g.get("staged_ok", True)
+            for g in multihost.allgather_small_json(
+                {"staged_ok": ok, "pid": pid}
+            )
+        )
+        if ok:
+            read_input = staged_gz
+        else:
+            staged_gz = None
     if nproc > 1 and input_file.endswith(".bgz"):
         from concurrent.futures import ThreadPoolExecutor
 

@@ -295,11 +295,22 @@ def _pairwise_matrix_host(
             out[: packed.shape[0]] = packed
             return out[: packed.shape[0]]
 
+        # np.bitwise_count needs numpy >= 2.0 and pyproject leaves numpy
+        # unpinned; a 256-entry popcount LUT keeps the fallback portable
+        popcnt = getattr(np, "bitwise_count", None)
+        if popcnt is None:
+            _lut = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(axis=1).astype(np.uint8)
+
+            def popcnt(bits: np.ndarray) -> np.ndarray:
+                return _lut[bits]
+
         def pop(bits: np.ndarray, threads: int = 2) -> int:
-            return int(np.bitwise_count(bits).sum())
+            return int(popcnt(bits).sum())
 
         def pop_and(a: np.ndarray, b: np.ndarray, threads: int = 2) -> int:
-            return int(np.bitwise_count(a & b).sum())
+            return int(popcnt(a & b).sum())
 
     acc = np.zeros((n, n), dtype=np.int64)
     bit_bufs = [np.empty(block_size // 8, dtype=np.uint8) for _ in range(n)]
@@ -496,7 +507,9 @@ def pair_counts_scalar(
     (the reference never calls it either); every production path uses
     :func:`pair_counts_stream` or the engines in :func:`merge`."""
     a_count = b_count = s_count = 0
-    for a_char, b_char in zip(iter_kin_cells(a_path), iter_kin_cells(b_path)):
+    for a_char, b_char in zip(
+        iter_kin_cells(a_path), iter_kin_cells(b_path), strict=True
+    ):
         a_valid = min_count <= a_char <= max_count
         b_valid = min_count <= b_char <= max_count
         a_count += 1 if a_valid else 0
@@ -516,8 +529,10 @@ def pair_counts_stream(
     """Single-pair streamed counts (reference Header.calculate_distance
     tools.py:439-493 parity; used for verification)."""
     a_count = b_count = s_count = 0
-    blocks_a = kinfmt.iter_kin_blocks(a_path, data_size, block_size)
-    blocks_b = kinfmt.iter_kin_blocks(b_path, data_size, block_size)
+    blocks_a = kinfmt.iter_kin_blocks(a_path, data_size, block_size,
+                                      reuse_buffer=True)
+    blocks_b = kinfmt.iter_kin_blocks(b_path, data_size, block_size,
+                                      reuse_buffer=True)
     for a_blk, b_blk in zip(blocks_a, blocks_b):
         assert a_blk.shape == b_blk.shape
         av = (a_blk >= min_count) & (a_blk <= max_count)

@@ -707,6 +707,7 @@ def _stream_sparse(
     threads: int,
     slice_bytes: int,
     job: Optional[dict] = None,
+    on_enqueued=None,
 ) -> Optional[np.ndarray]:
     """Sparse-mode readback of one folded (sub-)plane into ``out``.
 
@@ -771,6 +772,11 @@ def _stream_sparse(
                 except AttributeError:
                     break
         phase_s["enq"] = _time.monotonic() - _t0
+        if on_enqueued is not None:
+            # transfers are on the FIFO stream; device work dispatched now
+            # (e.g. the next plane's pack) overlaps the drain instead of
+            # queueing ahead of it
+            on_enqueued()
         _t0 = _time.monotonic()
         sides = []
         escs = []
@@ -1291,25 +1297,36 @@ def stream_dense_planes_to_out(
             if (fd is not None or hash_out) else None)
     totals = np.zeros(256, dtype=np.int64)
 
-    # resolve each sub-plane's mode up front and dispatch EVERY sparse
-    # plane's device compaction before any drain starts: the device then
-    # packs plane q+1 while the host drains/decodes plane q (the pack is
-    # real device time that would otherwise serialise with the link)
+    # resolve each sub-plane's mode up front, but dispatch the sparse packs
+    # STAGED one plane ahead: the stream is FIFO, so enqueueing every pack
+    # before any drain would put plane 0's token fetches behind every
+    # plane's ~0.6 s/segment compaction sort, idling the link for the whole
+    # pack phase (same staging as stream_sparse_planes_pieces). Plane q+1's
+    # pack is dispatched right after plane q's transfers are enqueued.
     modes = []
-    jobs = []
     for q, p in enumerate(planes):
         m = _pick_mode(p, int(np.prod(p.shape)), mode,
                        escapes=None if escapes is None else escapes[q])
         modes.append(m)
-        jobs.append(_sparse_dispatch(p) if m == "sparse" else None)
+    jobs: list = [None] * len(planes)
+    sparse_qs = [q for q, m in enumerate(modes) if m == "sparse"]
+    if sparse_qs:
+        jobs[sparse_qs[0]] = _sparse_dispatch(planes[sparse_qs[0]])
 
     base = 0
     for q in range(len(planes)):
         p, planes[q] = planes[q], None
         size = int(np.prod(p.shape))
-        if jobs[q] is not None:
+        if modes[q] == "sparse":
+            nxt = next((r for r in sparse_qs if r > q), None)
+
+            def _stage_next(nxt=nxt):
+                if nxt is not None and jobs[nxt] is None:
+                    jobs[nxt] = _sparse_dispatch(planes[nxt])
+
             counts = _stream_sparse(p, kmer_len, out, base, sink, threads,
-                                    slice_bytes, job=jobs[q])
+                                    slice_bytes, job=jobs[q],
+                                    on_enqueued=_stage_next)
             jobs[q] = None
             if counts is None:  # cap overflow: fixed-width fallback
                 counts = stream_dense_to_out(
@@ -1443,6 +1460,13 @@ def stream_sparse_planes_pieces(
 
     Returns (counts int64[256], sha256-hex | None)."""
     if escapes is None or fd is None:
+        return None
+    # _sparse_viable only proves sparse_decode_segment exists; the pieces
+    # path additionally needs the piece-decoder entry point (a stale .so
+    # built before it must take the arena fallback, not die in the pool)
+    from ..io.native import _HAVE_SPARSE_PIECE
+
+    if not _HAVE_SPARSE_PIECE:
         return None
     if not isinstance(planes, list):
         planes = list(planes)
@@ -1784,13 +1808,21 @@ def fetch_dense(dense: jax.Array, mode: str = "auto") -> np.ndarray:
             else np.asarray(dense).reshape(-1)
     if mode == "raw2d":
         return fetch_array_mt(_as2d(dense)).reshape(-1)
+    if mode == "sparse":
+        # _pick_mode can prefer the token-stream plane, but this flat-array
+        # helper has no token decoder (that machinery targets the streaming
+        # sinks); the 2-bit plane is the cheapest fixed-width stand-in at
+        # the densities where sparse wins
+        mode = "2bit"
     if mode == "2bit":
         out = unpack_2bit(fetch_array_mt(pack_2bit(dense)))
         _patch_escapes(dense, out, ESCAPE2)
     elif mode == "3bit":
         out = unpack_3bit(fetch_array_mt(pack_3bit(dense)))
         _patch_escapes(dense, out, ESCAPE3)
-    else:
+    elif mode == "packed":
         out = unpack_nibbles(fetch_array_mt(pack_nibbles(dense)))
         _patch_escapes(dense, out, ESCAPE4)
+    else:
+        raise ValueError(f"unknown readback mode {mode!r}")
     return out
