@@ -843,7 +843,8 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
     Module-level cache: one compiled executable per (K, span, masked) — a
     fresh ``jax.jit`` closure per run would recompile (~80 s through this
     environment's tunnel) because donated buffers' layouts bake into a new
-    closure's cache key.
+    closure's cache key. (PYKMER_TPU_ENCODER is read at first build per
+    key; flip it before the first index of a process.)
 
     The step is split in two programs (sort | sweep) deliberately: the
     Pallas sweep fused into one big XLA program wedged this environment's
@@ -869,16 +870,27 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
 
     fold_size = 4**kmer_len // 2
     sort_dt = jnp.int32 if fold_size <= np.iinfo(np.int32).max else jnp.int64
-    # K <= 15: bit-field encoder straight off the packed planes (~26 u32
-    # ops/window vs the K shifted slices; bit-exact, tested). K >= 17
-    # keeps the slice encoder (2K-bit fields stop fitting u32 pairs).
-    packed_encode = kmer_len <= 15
+    # Encoder choice (K <= 15 only; 2K-bit fields stop fitting u32 pairs at
+    # K >= 17), decided by production A/B of the full chained step on v5e
+    # (the r3 "0.2 ms packed" stage figure was an XLA constant-folding
+    # artifact — see docs/PERFORMANCE.md): the bit-field packed encoder
+    # wins the ALL-VALID step (49.8 vs 54.6 ms/16.7M windows) and the
+    # K-slice encoder wins the MASKED step (50.5 vs 55.7 ms), so the
+    # default is per-variant; PYKMER_TPU_ENCODER=packed|slice forces both.
+    # Both are bit-exact and tested.
+    enc_env = os.environ.get("PYKMER_TPU_ENCODER", "")
+    packed_encode = kmer_len <= 15 and (
+        enc_env == "packed" if enc_env else not masked
+    )
 
     def tail(nk, codes):
         # unstable unsigned keys-only sort: 3.4x the stable signed sort on
         # v5e, identical output (ops.histogram.sort_codes_fast)
         sorted_codes = sort_codes_fast(codes.astype(sort_dt))
-        nvalid = (codes < fold_size).sum(dtype=jnp.int64)
+        # int32 accumulate: chunks are < 2^31 windows and TPU emulates
+        # int64 lane math — the int64 reduction measured 7.4 ms/chunk,
+        # the int32 one is free (promoted once into the int64 counter)
+        nvalid = (codes < fold_size).sum(dtype=jnp.int32)
         return sorted_codes, nk + nvalid
 
     if masked:
@@ -1193,7 +1205,11 @@ def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
     from ..ops.encode import canonical_codes_packed
     from ..ops.histogram import sort_codes_fast as fast_sort
 
-    packed_encode = kmer_len <= 15  # same gate as _make_chunk_sorted_codes
+    # same gate + per-variant measured default as _make_chunk_sorted_codes
+    _enc_env = os.environ.get("PYKMER_TPU_ENCODER", "")
+    packed_encode = kmer_len <= 15 and (
+        _enc_env == "packed" if _enc_env else not masked
+    )
 
     if masked:
 

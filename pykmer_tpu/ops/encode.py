@@ -9,13 +9,16 @@ encode as the sentinel ``4^K`` so downstream static-shape code can carry them.
 Layout: two vectorised formulations, no per-window loop anywhere.
 :func:`canonical_codes` (any K) computes all ``S`` windows from K shifted
 slices — the formulation hinted at by the reference's unused numpy
-prototype (tools.py:562-675). :func:`canonical_codes_packed` (K <= 15, the
-production default) skips the unpack entirely: it treats the packed upload
-plane as a big-endian bit stream, extracts each window's 2K-bit field from
-a uint32 pair, and derives the reverse complement with an in-register
-2-bit-group reversal butterfly — 47x the slice encoder on v5e (9.4 ms ->
-0.2 ms per 16.7M windows; the slice form is HBM-bound on K materialised
-slices).
+prototype (tools.py:562-675). :func:`canonical_codes_packed` (K <= 15)
+skips the unpack entirely: it treats the packed upload plane as a
+big-endian bit stream, extracts each window's 2K-bit field from a uint32
+pair, and derives the reverse complement with an in-register 2-bit-group
+reversal butterfly. Production A/B of the full chained step on v5e picks
+the default per chunk variant: packed wins ALL-VALID chunks (49.8 vs
+54.6 ms/16.7M windows), slice wins MASKED chunks (50.5 vs 55.7 ms); an
+earlier "0.2 ms packed" figure was an XLA constant-folding artifact (see
+docs/PERFORMANCE.md). ``PYKMER_TPU_ENCODER=packed|slice`` forces one for
+both variants; they are bit-exact and tested against each other.
 """
 
 from __future__ import annotations

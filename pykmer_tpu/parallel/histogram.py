@@ -142,12 +142,17 @@ def make_sharded_accumulate(
 
     from ..ops.encode import canonical_codes_packed, unpack_base_2bit_mask
 
+    import os as _os
+
+    # this path is always masked; the K-slice encoder wins the masked step
+    # under honest chained timing (index.indexer._make_chunk_sorted_codes)
+    _enc_env = _os.environ.get("PYKMER_TPU_ENCODER", "")
+    packed_encode = kmer_len <= 15 and _enc_env == "packed"
+
     def per_chip(dense_local, nk_in, maxb_in, bases_row, mask_row):
         # dense_local: [1, local_size]; bases_row/mask_row: the chip's
         # bit-packed chunk (see shard_batch_chunks_packed), decoded on-chip.
-        # K <= 15 uses the bit-field packed encoder (9.4 -> 0.2 ms per 16.7M
-        # windows, bit-exact — ops.encode.canonical_codes_packed)
-        if kmer_len <= 15:
+        if packed_encode:
             codes = canonical_codes_packed(
                 bases_row[0], mask_row[0], span, kmer_len
             )
@@ -155,7 +160,9 @@ def make_sharded_accumulate(
             chunk = unpack_base_2bit_mask(bases_row[0], mask_row[0], span)
             codes = fold_codes(canonical_codes(chunk, kmer_len), kmer_len)
         valid = codes < fold_size
-        num_valid = valid.sum(dtype=jnp.int64)
+        # int32 accumulate (chunks < 2^31 windows): TPU emulates int64 lane
+        # math — the int64 reduction measured 7.4 ms per 16.7M windows
+        num_valid = valid.sum(dtype=jnp.int32).astype(jnp.int64)
 
         # key: bucket-major (owner, local); invalid windows past all buckets
         owner = (codes & (n_shards - 1)).astype(jnp.int32)
