@@ -698,6 +698,75 @@ def _sparse_dispatch(dense: jax.Array) -> dict:
     }
 
 
+def _enqueue_sparse_transfers(packed, metas, n_segs: int):
+    """Slice the three per-segment streams (tokens / int32 side / int32
+    escape positions) into FIXED grain-aligned prefix parts and enqueue
+    every d2h copy — aux streams first, then tokens, so the small arrays
+    land early on the FIFO link. Shared by the arena and pieces paths."""
+    side_parts = [
+        _prefix_parts(packed[i][1], int(metas[i][1]), _AUX_GRAIN)
+        for i in range(n_segs)
+    ]
+    esc_parts = [
+        _prefix_parts(packed[i][2], int(metas[i][2]), _AUX_GRAIN)
+        for i in range(n_segs)
+    ]
+    tok_parts = [
+        _prefix_parts(packed[i][0], int(metas[i][0]), _TOK_GRAIN)
+        for i in range(n_segs)
+    ]
+    for plist in (*side_parts, *esc_parts, *tok_parts):
+        for part in plist:
+            try:
+                part.copy_to_host_async()
+            except AttributeError:
+                break
+    return side_parts, esc_parts, tok_parts
+
+
+def _assemble_sparse_aux(side_parts, esc_parts, metas, n_segs: int):
+    """Materialise the per-segment side streams and escape-position arrays
+    from their enqueued prefix parts."""
+    sides = []
+    escs = []
+    for i in range(n_segs):
+        n_long, n_esc = int(metas[i][1]), int(metas[i][2])
+        s_arr = np.empty(n_long, dtype=np.int32)
+        _assemble_prefix(side_parts[i], n_long, s_arr)
+        sides.append(s_arr)
+        e_arr = np.empty(n_esc, dtype=np.int32)
+        _assemble_prefix(esc_parts[i], n_esc, e_arr)
+        escs.append(e_arr)
+    return sides, escs
+
+
+def _drain_sparse_tokens(tok_parts, metas, n_segs: int, threads: int):
+    """Drain every token slice into pooled per-segment byte buffers (the
+    buffers come from the arena pool — a malloc'd buffer would be munmapped
+    on release and re-faulted every use on this guest)."""
+    from ..utils.bigmem import big_empty as _bempty
+
+    tok_bufs = [_bempty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
+                for i in range(n_segs)]
+    flat_jobs = []
+    for i, plist in enumerate(tok_parts):
+        n_nz = int(metas[i][0])
+        pos = 0
+        for part in plist:
+            g = int(part.shape[0])
+            flat_jobs.append((i, pos, min(n_nz, pos + g), part))
+            pos += g
+
+    def drain(j: int) -> None:
+        i, a, b, part = flat_jobs[j]
+        if b > a:
+            tok_bufs[i][a:b] = np.asarray(part)[: b - a]
+
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(drain, range(len(flat_jobs))))
+    return tok_bufs
+
+
 def _stream_sparse(
     dense: jax.Array,
     kmer_len: int,
@@ -751,26 +820,9 @@ def _stream_sparse(
         # every token slice — all enqueued up front so the runtime streams
         # them back-to-back over the link
         _t0 = _time.monotonic()
-        side_parts = [
-            _prefix_parts(p[1], int(metas[i][1]), _AUX_GRAIN)
-            for i, p in enumerate(packed)
-        ]
-        esc_parts = [
-            _prefix_parts(p[2], int(metas[i][2]), _AUX_GRAIN)
-            for i, p in enumerate(packed)
-        ]
-        tok_parts = [
-            _prefix_parts(p[0], int(metas[i][0]), _TOK_GRAIN)
-            for i, p in enumerate(packed)
-        ]
-        phase_s["slice"] = _time.monotonic() - _t0
-        _t0 = _time.monotonic()
-        for plist in (*side_parts, *esc_parts, *tok_parts):
-            for part in plist:
-                try:
-                    part.copy_to_host_async()
-                except AttributeError:
-                    break
+        side_parts, esc_parts, tok_parts = _enqueue_sparse_transfers(
+            packed, metas, n_segs
+        )
         phase_s["enq"] = _time.monotonic() - _t0
         if on_enqueued is not None:
             # transfers are on the FIFO stream; device work dispatched now
@@ -778,16 +830,8 @@ def _stream_sparse(
             # queueing ahead of it
             on_enqueued()
         _t0 = _time.monotonic()
-        sides = []
-        escs = []
-        for i in range(n_segs):
-            n_long, n_esc = int(metas[i][1]), int(metas[i][2])
-            s_arr = np.empty(n_long, dtype=np.int32)
-            _assemble_prefix(side_parts[i], n_long, s_arr)
-            sides.append(s_arr)
-            e_arr = np.empty(n_esc, dtype=np.int32)
-            _assemble_prefix(esc_parts[i], n_esc, e_arr)
-            escs.append(e_arr)
+        sides, escs = _assemble_sparse_aux(side_parts, esc_parts, metas,
+                                           n_segs)
         phase_s["aux"] = _time.monotonic() - _t0
 
         # escape patch plan: plane-local folded indices, ascending across
@@ -814,27 +858,9 @@ def _stream_sparse(
         # token drain with the CPUs otherwise idle (the tunnel transport is
         # in-process and CPU-bound; see stream_dense_to_out phase 1)
         _t0 = _time.monotonic()
-        from ..utils.bigmem import big_empty as _bempty
-
-        tok_bufs = [_bempty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
-                    for i in range(n_segs)]
-        flat_jobs = []
-        for i, plist in enumerate(tok_parts):
-            n_nz = int(metas[i][0])
-            pos = 0
-            for part in plist:
-                g = int(part.shape[0])
-                flat_jobs.append((i, pos, min(n_nz, pos + g), part))
-                pos += g
-
-        def drain(j: int) -> None:
-            i, a, b, part = flat_jobs[j]
-            if b > a:
-                tok_bufs[i][a:b] = np.asarray(part)[: b - a]
-
-        with ThreadPoolExecutor(FETCH_THREADS) as ex:
-            list(ex.map(drain, range(len(flat_jobs))))
-        del tok_parts, flat_jobs, packed
+        tok_bufs = _drain_sparse_tokens(tok_parts, metas, n_segs,
+                                        FETCH_THREADS)
+        del tok_parts, packed
         phase_s["d2h"] = _time.monotonic() - _t0
 
         # decode workers + ascending chaser (patch + sink regions)
@@ -1584,37 +1610,14 @@ def stream_sparse_planes_pieces(
                 # bounds — see _TOK_GRAIN on why data-dependent bounds are
                 # catastrophic on tunneled links.
                 _t0 = _time.monotonic()
-                side_parts = [
-                    _prefix_parts(packed[i][1], int(metas[i][1]), _AUX_GRAIN)
-                    for i in range(n_segs)
-                ]
-                esc_parts = [
-                    _prefix_parts(packed[i][2], int(metas[i][2]), _AUX_GRAIN)
-                    for i in range(n_segs)
-                ]
-                tok_parts = [
-                    _prefix_parts(packed[i][0], int(metas[i][0]), _TOK_GRAIN)
-                    for i in range(n_segs)
-                ]
-                for plist in (*side_parts, *esc_parts, *tok_parts):
-                    for part in plist:
-                        try:
-                            part.copy_to_host_async()
-                        except AttributeError:
-                            break
+                side_parts, esc_parts, tok_parts = _enqueue_sparse_transfers(
+                    packed, metas, n_segs
+                )
                 phase_s["slice"] = phase_s.get("slice", 0.0) + \
                     (_time.monotonic() - _t0)
                 _t0 = _time.monotonic()
-                sides = []
-                escs = []
-                for i in range(n_segs):
-                    n_long, n_esc = int(metas[i][1]), int(metas[i][2])
-                    s_arr = np.empty(n_long, dtype=np.int32)
-                    _assemble_prefix(side_parts[i], n_long, s_arr)
-                    sides.append(s_arr)
-                    e_arr = np.empty(n_esc, dtype=np.int32)
-                    _assemble_prefix(esc_parts[i], n_esc, e_arr)
-                    escs.append(e_arr)
+                sides, escs = _assemble_sparse_aux(side_parts, esc_parts,
+                                                   metas, n_segs)
                 phase_s["auxw"] = phase_s.get("auxw", 0.0) + \
                     (_time.monotonic() - _t0)
 
@@ -1640,31 +1643,9 @@ def stream_sparse_planes_pieces(
                     jobs[q + 1] = _sparse_dispatch(planes[q + 1])
 
                 _t0 = _time.monotonic()
-                # pooled: a malloc'd 98 MB/plane buffer would be
-                # munmapped on release and re-faulted every plane (~370 us
-                # per 4 KiB page on this guest)
-                tok_bufs = [big_empty(max(int(metas[i][0]), 1))[: int(metas[i][0])]
-                            for i in range(n_segs)]
-                phase_s["alloc"] = phase_s.get("alloc", 0.0) + \
-                    (_time.monotonic() - _t0)
-                _t0 = _time.monotonic()
-                flat_jobs = []
-                for i, plist in enumerate(tok_parts):
-                    n_nz = int(metas[i][0])
-                    pos = 0
-                    for part in plist:
-                        g = int(part.shape[0])
-                        flat_jobs.append((i, pos, min(n_nz, pos + g), part))
-                        pos += g
-
-                def drain(j: int) -> None:
-                    i, a, b, part = flat_jobs[j]
-                    if b > a:
-                        tok_bufs[i][a:b] = np.asarray(part)[: b - a]
-
-                with ThreadPoolExecutor(threads) as ex:
-                    list(ex.map(drain, range(len(flat_jobs))))
-                del tok_parts, flat_jobs, packed, job
+                tok_bufs = _drain_sparse_tokens(tok_parts, metas, n_segs,
+                                                threads)
+                del tok_parts, packed, job
                 phase_s["drain"] += _time.monotonic() - _t0
 
                 for i in range(n_segs):
