@@ -889,8 +889,15 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
         sorted_codes = sort_codes_fast(codes.astype(sort_dt))
         # int32 accumulate: chunks are < 2^31 windows and TPU emulates
         # int64 lane math — the int64 reduction measured 7.4 ms/chunk,
-        # the int32 one is free (promoted once into the int64 counter)
-        nvalid = (codes < fold_size).sum(dtype=jnp.int32)
+        # the int32 one is free (promoted once into the int64 counter).
+        # int64 codes (K >= 17) keep the int64 accumulate: reducing the
+        # bool of an int64 compare straight to int32 crashes this TPU
+        # compiler (tpu_compile_helper exit 1 at 67M elements, verified
+        # either dtype in isolation compiles — the fused pattern is the
+        # trigger), and nvalid is a tiny share of the K >= 17 step anyway.
+        nvalid = (codes < fold_size).sum(
+            dtype=jnp.int32 if sort_dt == jnp.int32 else jnp.int64
+        )
         return sorted_codes, nk + nvalid
 
     if masked:

@@ -161,8 +161,12 @@ def make_sharded_accumulate(
             codes = fold_codes(canonical_codes(chunk, kmer_len), kmer_len)
         valid = codes < fold_size
         # int32 accumulate (chunks < 2^31 windows): TPU emulates int64 lane
-        # math — the int64 reduction measured 7.4 ms per 16.7M windows
-        num_valid = valid.sum(dtype=jnp.int32).astype(jnp.int64)
+        # math — the int64 reduction measured 7.4 ms per 16.7M windows.
+        # int64 codes keep int64: the bool-of-int64-compare -> int32-reduce
+        # pattern crashes this TPU compiler (see indexer tail()).
+        num_valid = valid.sum(
+            dtype=jnp.int32 if dt == jnp.int32 else jnp.int64
+        ).astype(jnp.int64)
 
         # key: bucket-major (owner, local); invalid windows past all buckets
         owner = (codes & (n_shards - 1)).astype(jnp.int32)

@@ -216,3 +216,64 @@ def test_sparse_readback_hw(rng, tmp_path, monkeypatch):
     assert np.array_equal(counts2, np.bincount(folded, minlength=256))
     assert hex2 == hashlib.sha256(exp).hexdigest()
     assert np.array_equal(np.fromfile(path, dtype=np.uint8), exp)
+
+
+def test_production_step_programs_compile(rng):
+    """Every production per-chunk step program COMPILES on the real TPU
+    toolchain at shipping shapes (K=15 and K=17, masked + all-valid).
+
+    Regression guard for a real near-miss: an innocuous-looking change to
+    the K>=17 program (reducing the bool of an int64 compare straight to
+    int32) crashed the TPU compiler subprocess — CPU tests, the virtual
+    8-device dryrun, and interpret-mode Pallas all stayed green, so only a
+    real-toolchain compile could have caught it before the benchmark run.
+    Compiles are cached, so steady state costs seconds."""
+    import jax.numpy as jnp
+
+    from pykmer_tpu.config import IndexConfig, resolve_chunk_windows
+    from pykmer_tpu.index.indexer import (
+        _make_chunk_sorted_codes,
+        _make_sweep_apply,
+        _n_planes,
+        _sweep_variant,
+    )
+    from pykmer_tpu.ops.encode import pack_base_stream
+    from pykmer_tpu.ops.pallas_hist import dense_plane_shape
+
+    for kmer_len in (15, 17):
+        cfg = resolve_chunk_windows(IndexConfig(kmer_len=kmer_len))
+        fold = 4**kmer_len // 2
+        n_planes = _n_planes(fold)
+        variant = _sweep_variant(cfg, fold, kmer_len, n_planes)
+        span = cfg.chunk_windows + kmer_len - 1
+        seq = rng.integers(0, 4, size=span).astype(np.uint8)
+        seq[:: 100_003] = ord("N")  # force a real mask
+        bases2, maskbits = pack_base_stream(seq)
+        dev_b = jnp.asarray(bases2)
+
+        # fresh counter per call: the step DONATES argument 0
+        codes, nk = _make_chunk_sorted_codes(kmer_len, span, masked=True)(
+            jnp.zeros((), dtype=jnp.int64), dev_b, jnp.asarray(maskbits)
+        )
+        assert int(nk) > 0
+        codes_av, nk_av = _make_chunk_sorted_codes(
+            kmer_len, span, masked=False
+        )(jnp.zeros((), dtype=jnp.int64), dev_b)
+        assert int(nk_av) == span - kmer_len + 1
+
+        # one sweep dispatch per K proves the B program compiles too; at
+        # K=17 the tuple-of-sub-planes variant (donated, readiness signal)
+        step_b = _make_sweep_apply(kmer_len, variant, n_planes=n_planes)
+        if n_planes == 1:
+            dense = jnp.zeros(dense_plane_shape(fold), dtype=jnp.uint8)
+            dense = step_b(dense, codes_av)
+            assert int(jnp.sum(dense[0, :1].astype(jnp.int32))) >= 0
+        else:
+            per = fold // n_planes
+            planes = tuple(
+                jnp.zeros(dense_plane_shape(per), dtype=jnp.uint8)
+                for _ in range(n_planes)
+            )
+            planes, sig = step_b(planes, codes_av)
+            assert int(jnp.sum(planes[0][0, :1].astype(jnp.int32))) >= 0
+        del codes, codes_av
