@@ -209,8 +209,12 @@ def main() -> None:
     # end-of-run histogram recheck (indexer.py:406-407), so the honest
     # apples-to-apples figure rides along (VERDICT r2 #8)
     if not verify and os.environ.get("BENCH_VERIFIED_RUN", "1") == "1":
-        v_bp_s, _, v_elapsed = timed_index(fasta, kmer_len, cfg, True)
-        log(f"verified run: bp/s={v_bp_s:,.0f} elapsed={v_elapsed:.2f}s")
+        v_bp_s = None
+        for r in range(2):  # same best-of protection as the main metric
+            bp, _, v_elapsed = timed_index(fasta, kmer_len, cfg, True)
+            log(f"verified run {r + 1}: bp/s={bp:,.0f} "
+                f"elapsed={v_elapsed:.2f}s")
+            v_bp_s = max(v_bp_s or 0, bp)
         result["verified_bp_per_s"] = round(v_bp_s)
         if base:
             result["verified_vs_baseline"] = round(v_bp_s / base, 2)
