@@ -183,17 +183,23 @@ def main() -> None:
     # adaptive extension: the tunnel's bad phases last minutes and depress
     # every run in the window ~7x (measured: the same binary recorded
     # 73 M bp/s and 11 M bp/s three hours apart). If the whole fixed set
-    # landed in a bad phase, keep sampling on a sleep/retry cadence for a
-    # bounded extra budget — one good-phase run is the steady-state number
+    # landed in a bad phase, run a FIXED number of extra spaced samples
+    # (no result-dependent early exit — a stop-on-threshold rule would
+    # condition the reported best on crossing the threshold) and take the
+    # best of the full, predeclared protocol.
     base0 = BASELINES.get(kmer_len)
     extra_budget = float(os.environ.get("BENCH_EXTRA_S", "1200"))
-    while (base0 and best / base0 < 100
-           and time.time() - t_runs0 < extra_budget):
-        log("bad wire phase suspected; sleeping 60 s before a retry run")
-        time.sleep(60)
-        bp_s, header, elapsed = timed_index(fasta, kmer_len, cfg, verify)
-        log(f"retry run: bp/s={bp_s:,.0f} elapsed={elapsed:.2f}s")
-        best = max(best, bp_s)
+    if base0 and best / base0 < 100 and extra_budget > 0:
+        log("bad wire phase suspected; running 5 spaced retry samples")
+        for r in range(5):
+            if time.time() - t_runs0 > extra_budget:
+                log("retry budget exhausted")
+                break
+            time.sleep(60)
+            bp_s, header, elapsed = timed_index(fasta, kmer_len, cfg, verify)
+            log(f"retry run {r + 1}/5: bp/s={bp_s:,.0f} "
+                f"elapsed={elapsed:.2f}s")
+            best = max(best, bp_s)
     bp_s = best
     # no silent fallback: a K the reference never published would otherwise
     # be compared against the K=15 figure and report a misleading ratio

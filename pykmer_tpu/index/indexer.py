@@ -835,16 +835,27 @@ def _sweep_variant(config: IndexConfig, fold_size: int, kmer_len: int,
     return "fixed-int8"
 
 
-@functools.lru_cache(maxsize=None)
 def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
+    """Resolve the encoder choice (env-sensitive) OUTSIDE the build cache
+    so PYKMER_TPU_ENCODER participates in the cache key."""
+    from ..ops.encode import use_packed_encoder
+
+    return _make_chunk_sorted_codes_cached(
+        kmer_len, span, masked, use_packed_encoder(kmer_len, masked)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_chunk_sorted_codes_cached(
+    kmer_len: int, span: int, masked: bool, packed_encode: bool
+):
     """Program A of the split per-chunk step: unpack -> encode -> fold ->
     sort (+ the k-mer counter update, carried donated on device).
 
-    Module-level cache: one compiled executable per (K, span, masked) — a
-    fresh ``jax.jit`` closure per run would recompile (~80 s through this
-    environment's tunnel) because donated buffers' layouts bake into a new
-    closure's cache key. (PYKMER_TPU_ENCODER is read at first build per
-    key; flip it before the first index of a process.)
+    Module-level cache: one compiled executable per (K, span, masked,
+    encoder) — a fresh ``jax.jit`` closure per run would recompile (~80 s
+    through this environment's tunnel) because donated buffers' layouts
+    bake into a new closure's cache key.
 
     The step is split in two programs (sort | sweep) deliberately: the
     Pallas sweep fused into one big XLA program wedged this environment's
@@ -870,18 +881,12 @@ def _make_chunk_sorted_codes(kmer_len: int, span: int, masked: bool = True):
 
     fold_size = 4**kmer_len // 2
     sort_dt = jnp.int32 if fold_size <= np.iinfo(np.int32).max else jnp.int64
-    # Encoder choice (K <= 15 only; 2K-bit fields stop fitting u32 pairs at
-    # K >= 17), decided by production A/B of the full chained step on v5e
-    # (the r3 "0.2 ms packed" stage figure was an XLA constant-folding
-    # artifact — see docs/PERFORMANCE.md): the bit-field packed encoder
-    # wins the ALL-VALID step (49.8 vs 54.6 ms/16.7M windows) and the
-    # K-slice encoder wins the MASKED step (50.5 vs 55.7 ms), so the
-    # default is per-variant; PYKMER_TPU_ENCODER=packed|slice forces both.
-    # Both are bit-exact and tested.
-    enc_env = os.environ.get("PYKMER_TPU_ENCODER", "")
-    packed_encode = kmer_len <= 15 and (
-        enc_env == "packed" if enc_env else not masked
-    )
+    # Encoder choice (ops.encode.use_packed_encoder), decided by production
+    # A/B of the full chained step on v5e (the r3 "0.2 ms packed" stage
+    # figure was an XLA constant-folding artifact — docs/PERFORMANCE.md):
+    # the bit-field packed encoder wins the ALL-VALID step (49.8 vs
+    # 54.6 ms/16.7M windows) and the K-slice encoder wins the MASKED step
+    # (50.5 vs 55.7 ms). Both are bit-exact and tested.
 
     def tail(nk, codes):
         # unstable unsigned keys-only sort: 3.4x the stable signed sort on
@@ -1196,8 +1201,19 @@ def _accumulate_host(
     return dense, num_kmers
 
 
-@functools.lru_cache(maxsize=None)
 def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
+    """Env-sensitive encoder resolved outside the cache, as above."""
+    from ..ops.encode import use_packed_encoder
+
+    return _make_encode_sort_cached(
+        kmer_len, span, masked, use_packed_encoder(kmer_len, masked)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_encode_sort_cached(
+    kmer_len: int, span: int, masked: bool, packed_encode: bool
+):
     """Jitted encode+sort for the host strategy — cached like _make_chunk_sorted_codes."""
     import jax
     import jax.numpy as jnp
@@ -1211,12 +1227,6 @@ def _make_encode_sort(kmer_len: int, span: int, masked: bool = True):
 
     from ..ops.encode import canonical_codes_packed
     from ..ops.histogram import sort_codes_fast as fast_sort
-
-    # same gate + per-variant measured default as _make_chunk_sorted_codes
-    _enc_env = os.environ.get("PYKMER_TPU_ENCODER", "")
-    packed_encode = kmer_len <= 15 and (
-        _enc_env == "packed" if _enc_env else not masked
-    )
 
     if masked:
 

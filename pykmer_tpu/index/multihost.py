@@ -76,9 +76,18 @@ def _stage_inflated(gz_path: str, staged_path: str) -> None:
 
         with gzip.open(gz_path, "rb") as fh:
             data = np.frombuffer(fh.read(), dtype=np.uint8)
-    with open(tmp, "wb") as fh:
-        fh.write(memoryview(data))
-    os.replace(tmp, staged_path)
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(memoryview(data))
+        os.replace(tmp, staged_path)
+    except OSError:
+        # e.g. ENOSPC mid-write: never leave a multi-GB partial behind
+        # (the caller falls back to per-host decode and keeps running)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _combine_partials_global(partial: np.ndarray, num_kmers: int):
@@ -203,12 +212,15 @@ def create_fasta_index_multihost(
     plain_gz = input_file.endswith(".gz") and not input_file.endswith(".bgz")
     if nproc > 1 and plain_gz and \
             os.environ.get("PYKMER_TPU_MULTIHOST_GZ_STAGE", "1") != "0":
-        # name keyed on (K, project): concurrent jobs over the same input
-        # with different parameters must not share (and mid-run delete)
-        # each other's staged file
+        # name keyed on (K, project, sample): concurrent jobs over the same
+        # input with different parameters must not share (and mid-run
+        # delete) each other's staged file. (Jobs identical in all three
+        # would already collide on the output .kin.tmp itself.)
         import hashlib as _hashlib
 
-        job_tag = _hashlib.sha256(project_name.encode()).hexdigest()[:8]
+        job_tag = _hashlib.sha256(
+            f"{project_name}\x00{sample_name}".encode()
+        ).hexdigest()[:8]
         staged_gz = f"{input_file}.{kmer_len:02d}.{job_tag}.inflated.tmp"
         ok = True
         if is_main:

@@ -505,7 +505,13 @@ def pair_counts_scalar(
     unused fallback ``Header.calculate_distance2`` (tools.py:495-512): zip
     the two cell iterators and range-test each pair. Kept for completeness
     (the reference never calls it either); every production path uses
-    :func:`pair_counts_stream` or the engines in :func:`merge`."""
+    :func:`pair_counts_stream` or the engines in :func:`merge`.
+
+    Deliberate deviation: the reference's zip silently TRUNCATES at the
+    shorter file when the inputs disagree in size; here that raises
+    ``ValueError`` (``strict=True``) — truncated counts are garbage and a
+    mismatch always indicates caller error. Same-size inputs (the only
+    case the reference ever produced) are value-identical."""
     a_count = b_count = s_count = 0
     for a_char, b_char in zip(
         iter_kin_cells(a_path), iter_kin_cells(b_path), strict=True

@@ -44,6 +44,20 @@ def SENTINEL_FACTORY(kmer_len: int) -> int:
     return 4**kmer_len
 
 
+def use_packed_encoder(kmer_len: int, masked: bool) -> bool:
+    """Single source of truth for the encoder choice (see module docstring:
+    per-variant defaults from production A/B; PYKMER_TPU_ENCODER=packed|
+    slice forces one for both variants). Resolve this OUTSIDE lru-cached
+    program builders and pass the bool in, so the env var participates in
+    the build cache key (the PYKMER_TPU_SWEEP pattern, ADVICE r2)."""
+    import os
+
+    if kmer_len > 15:  # 2K-bit fields stop fitting u32 pairs
+        return False
+    env = os.environ.get("PYKMER_TPU_ENCODER", "")
+    return env == "packed" if env else not masked
+
+
 def canonical_codes(chunk: jax.Array, kmer_len: int) -> jax.Array:
     """All window codes of a chunk.
 

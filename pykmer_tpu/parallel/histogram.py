@@ -108,12 +108,29 @@ def shard_batch_chunks_packed(
     return bases, mask
 
 
-@functools.lru_cache(maxsize=None)
 def make_sharded_accumulate(
     mesh: Mesh,
     kmer_len: int,
     chunk_windows: int,
     capacity_factor: float = 2.0,
+) -> Tuple[Callable, Callable]:
+    """Env-sensitive encoder resolved outside the build cache (the
+    PYKMER_TPU_SWEEP pattern — ops.encode.use_packed_encoder)."""
+    from ..ops.encode import use_packed_encoder
+
+    return _make_sharded_accumulate_cached(
+        mesh, kmer_len, chunk_windows, capacity_factor,
+        use_packed_encoder(kmer_len, masked=True),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_accumulate_cached(
+    mesh: Mesh,
+    kmer_len: int,
+    chunk_windows: int,
+    capacity_factor: float,
+    packed_encode: bool,
 ) -> Tuple[Callable, Callable]:
     """Build (init_fn, step_fn) for the sharded histogram.
 
@@ -142,12 +159,9 @@ def make_sharded_accumulate(
 
     from ..ops.encode import canonical_codes_packed, unpack_base_2bit_mask
 
-    import os as _os
-
     # this path is always masked; the K-slice encoder wins the masked step
-    # under honest chained timing (index.indexer._make_chunk_sorted_codes)
-    _enc_env = _os.environ.get("PYKMER_TPU_ENCODER", "")
-    packed_encode = kmer_len <= 15 and _enc_env == "packed"
+    # under honest chained timing (packed_encode resolved by the uncached
+    # wrapper so the env choice is part of this cache's key)
 
     def per_chip(dense_local, nk_in, maxb_in, bases_row, mask_row):
         # dense_local: [1, local_size]; bases_row/mask_row: the chip's
