@@ -38,6 +38,7 @@ tests/test_multihost.py, including kill + resume).
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Optional
 
 import numpy as np
@@ -226,9 +227,13 @@ def create_fasta_index_multihost(
         if is_main:
             try:
                 _stage_inflated(input_file, staged_gz)
-            except OSError as exc:
-                # e.g. read-only input directory: fall back to the per-host
-                # full decode instead of killing the job
+            except (OSError, EOFError, zlib.error) as exc:
+                # OSError: e.g. read-only input directory. EOFError /
+                # zlib.error: truncated or corrupt .gz — gzip raises these,
+                # not OSError, and crashing here would strand the other
+                # hosts at the barrier below. Fall back to the per-host full
+                # decode instead: each host's own decode then surfaces the
+                # real corruption error uniformly (ADVICE r4).
                 if verbose:
                     print(f"gz staging failed ({exc}); "
                           f"falling back to per-host decode")
@@ -266,32 +271,48 @@ def create_fasta_index_multihost(
         or not input_file.endswith((".gz", ".bgz"))
     )
     if byte_split:
-        if bgz_reader is not None:
-            b_lo, b_hi = multihost.host_byte_slice_bgzf(bgz_reader, pid, nproc)
-        else:
-            b_lo, b_hi = multihost.host_byte_slice(read_input, pid, nproc)
-        if b_hi > b_lo:
+        # any exception between staging and the post-read allgather (bad
+        # byte slice, decode error on any host, ...) must not leak the
+        # multi-GB staged .inflated.tmp on shared storage (ADVICE r4) —
+        # main best-effort-unlinks it on the error path; the success path
+        # unlinks after the allgather proves every host finished reading
+        try:
             if bgz_reader is not None:
-                data = np.empty(b_hi - b_lo, dtype=np.uint8)
-                got = bgz_reader.read_into(data, b_lo)
-                assert got == b_hi - b_lo
+                b_lo, b_hi = multihost.host_byte_slice_bgzf(
+                    bgz_reader, pid, nproc)
             else:
-                with open(read_input, "rb") as fh:
-                    fh.seek(b_lo)
-                    data = np.frombuffer(
-                        fh.read(b_hi - b_lo), dtype=np.uint8
-                    )
-            from .indexer import _decode_joined_bytes
+                b_lo, b_hi = multihost.host_byte_slice(read_input, pid, nproc)
+            if b_hi > b_lo:
+                if bgz_reader is not None:
+                    data = np.empty(b_hi - b_lo, dtype=np.uint8)
+                    got = bgz_reader.read_into(data, b_lo)
+                    assert got == b_hi - b_lo
+                else:
+                    with open(read_input, "rb") as fh:
+                        fh.seek(b_lo)
+                        data = np.frombuffer(
+                            fh.read(b_hi - b_lo), dtype=np.uint8
+                        )
+                from .indexer import _decode_joined_bytes
 
-            local_stream, my_chroms, my_bp = _decode_joined_bytes(
-                data, kmer_len, tail_headroom=config.chunk_windows + kmer_len
-            )
-            del data
-        else:
-            local_stream, my_chroms, my_bp = None, [], 0
-        if bgz_reader is not None:
-            bgz_reader.close()
-            bgz_reader.pool.shutdown(wait=False)
+                local_stream, my_chroms, my_bp = _decode_joined_bytes(
+                    data, kmer_len,
+                    tail_headroom=config.chunk_windows + kmer_len,
+                )
+                del data
+            else:
+                local_stream, my_chroms, my_bp = None, [], 0
+        except BaseException:
+            if staged_gz is not None and is_main:
+                try:
+                    os.unlink(staged_gz)
+                except OSError:
+                    pass
+            raise
+        finally:
+            if bgz_reader is not None:
+                bgz_reader.close()
+                bgz_reader.pool.shutdown(wait=False)
         # global record list / totals in pid order == file order
         gathered = multihost.allgather_small_json(
             {"chroms": [[n, int(s)] for n, s in my_chroms], "bp": my_bp}

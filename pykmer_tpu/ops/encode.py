@@ -52,9 +52,17 @@ def use_packed_encoder(kmer_len: int, masked: bool) -> bool:
     the build cache key (the PYKMER_TPU_SWEEP pattern, ADVICE r2)."""
     import os
 
+    env = os.environ.get("PYKMER_TPU_ENCODER", "")
+    if env not in ("", "packed", "slice"):
+        # a typo'd override would otherwise silently read as 'slice' and be
+        # indistinguishable from the per-variant default during an A/B
+        # (ADVICE r4) — same explicit-values rule as PYKMER_TPU_SWEEP
+        raise ValueError(
+            f"PYKMER_TPU_ENCODER must be 'packed' or 'slice' (or unset), "
+            f"got {env!r}"
+        )
     if kmer_len > 15:  # 2K-bit fields stop fitting u32 pairs
         return False
-    env = os.environ.get("PYKMER_TPU_ENCODER", "")
     return env == "packed" if env else not masked
 
 

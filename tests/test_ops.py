@@ -383,3 +383,20 @@ def test_packed_encoder_tiny_spans(rng, n_windows):
         jnp.asarray(bases2), jnp.asarray(maskbits), span, k
     )
     assert np.array_equal(np.asarray(got), np.asarray(want)), n_windows
+
+
+def test_encoder_env_override_validated(monkeypatch):
+    """A typo'd PYKMER_TPU_ENCODER must raise, not silently read as
+    'slice' (ADVICE r4) — same explicit-values rule as PYKMER_TPU_SWEEP."""
+    from pykmer_tpu.ops.encode import use_packed_encoder
+
+    monkeypatch.setenv("PYKMER_TPU_ENCODER", "packed")
+    assert use_packed_encoder(15, masked=True) is True
+    monkeypatch.setenv("PYKMER_TPU_ENCODER", "slice")
+    assert use_packed_encoder(15, masked=False) is False
+    monkeypatch.delenv("PYKMER_TPU_ENCODER")
+    assert use_packed_encoder(15, masked=False) is True
+    for bad in ("Packed", "slicee", "1"):
+        monkeypatch.setenv("PYKMER_TPU_ENCODER", bad)
+        with pytest.raises(ValueError, match="PYKMER_TPU_ENCODER"):
+            use_packed_encoder(15, masked=False)
