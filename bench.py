@@ -6,11 +6,27 @@ tomato genome — /root/reference/README.md:49, BASELINE.md). Input here is a
 cached synthetic genome of comparable size/composition (zero-egress image:
 the real tomato FASTA cannot be downloaded).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+PROTOCOL (r5, fixed and predeclared — ADVICE r4 medium): every metric runs
+a FIXED sample schedule that does not depend on observed results: K=15
+takes 4 back-to-back + 4 spaced (60 s apart) timed runs, K=17 takes
+3 back-to-back + 2 spaced, merge takes 3; best-of is reported alongside the
+FULL per-run list so a reader sees the distribution, not just the max.
+Spacing exists because the tunneled host<->device link's bandwidth wanders
+5-80 MB/s on a minutes timescale and the pipeline is wire-dominated: spaced
+samples give the fixed protocol a fair shot at one good phase without any
+result-conditioned retries. Raw wire-bandwidth probes (32 MB h2d + d2h)
+run before/between/after the legs and land in the JSON so any round's
+ratio can be read against its weather (VERDICT r4 #1). A wall-clock budget
+(BENCH_BUDGET_S, default 3300 s) may truncate later legs — by the clock
+only, never by a result — and the JSON records what was skipped.
 
 Env knobs: BENCH_K (15), BENCH_BP (840M), BENCH_VERIFY (0),
 BENCH_GENOME (uniform|repeat — repeat adds power-law repeat families so the
-saturation + escape-dense readback paths run at scale), BENCH_REPEATS (4).
+saturation + escape-dense readback paths run at scale), BENCH_RUNS (4),
+BENCH_SPACED (4), BENCH_GAP_S (60), BENCH_BUDGET_S (3300),
+BENCH_FANIN (1 — N=39 merge fan-in leg).
 """
 
 import json
@@ -152,15 +168,20 @@ def main() -> None:
     warm_bufs += [big_empty(in_size), big_empty(in_size + (1 << 23))]
     del warm_bufs
 
-    # best of N timed runs (default 2): the tunneled host<->device link's
-    # bandwidth wanders ~3x on a minutes timescale, and the pipeline is
-    # wire-dominated — the min-elapsed run is the standard noise reducer
-    # (cf. timeit) and reflects steady-state service throughput
-    # the tunneled d2h link wanders 5-80 MB/s on a minutes timescale and the
-    # pipeline is wire-dominated: 6 repeats (~12 s each) give the best-of a
-    # fair shot at one good phase (identical code measured 26-70 M bp/s
-    # across windows)
-    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "6")))
+    # FIXED sample schedule (module docstring): n_btb back-to-back runs,
+    # then n_spaced runs each preceded by a gap_s sleep — unconditional,
+    # never extended or cut short based on an observed result (ADVICE r4).
+    # The only truncation is the global wall-clock budget, checked BEFORE
+    # each spaced sample (clock-based, result-independent); the JSON
+    # records planned vs completed counts so truncation is visible.
+    n_btb = max(1, int(os.environ.get("BENCH_RUNS", "4")))
+    n_spaced = max(0, int(os.environ.get("BENCH_SPACED", "4")))
+    gap_s = float(os.environ.get("BENCH_GAP_S", "60"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3300"))
+    t_sched0 = time.time()
+
+    def budget_left() -> float:
+        return budget_s - (time.time() - t_sched0)
 
     def timed_index(path, k, cfg_, do_verify):
         t0 = time.time()
@@ -172,67 +193,75 @@ def main() -> None:
         total_seq_bp = sum(c[1] for c in header.chromosomes)
         return total_seq_bp / elapsed, header, elapsed
 
-    best = None
-    t_runs0 = time.time()
-    for r in range(repeats):
+    def run_schedule(label, btb, spaced_n, sample_fn):
+        """Run the fixed schedule; returns (values, planned_count)."""
+        vals = []
+        planned = btb + spaced_n
+        for i in range(planned):
+            if i >= btb:
+                if budget_left() < gap_s + 30:
+                    log(f"{label}: clock budget exhausted after "
+                        f"{len(vals)}/{planned} samples (result-independent "
+                        f"truncation)")
+                    break
+                time.sleep(gap_s)
+            vals.append(sample_fn(i, planned))
+        return vals, planned
+
+    result = {
+        "metric": f"index_bp_per_s_k{kmer_len}_1chip{tag}",
+        "unit": "bp/s",
+        "protocol": (f"fixed {n_btb} back-to-back + {n_spaced} x "
+                     f"{gap_s:.0f}s-spaced samples, best-of reported with "
+                     f"full per-run list; truncation by clock budget only"),
+    }
+    wire_probes = []
+    try:
+        wire_probes.append(wire_probe())
+        log(f"wire probe (start): {wire_probes[-1]}")
+    except Exception as exc:
+        log(f"wire probe failed: {exc!r}")
+
+    def k15_sample(i, planned):
         bp_s, header, elapsed = timed_index(fasta, kmer_len, cfg, verify)
-        log(f"run {r + 1}/{repeats}: K={kmer_len} bp/s={bp_s:,.0f} "
+        log(f"run {i + 1}/{planned}: K={kmer_len} bp/s={bp_s:,.0f} "
             f"elapsed={elapsed:.2f}s num_kmers={header.num_kmers:,}")
-        if best is None or bp_s > best:
-            best = bp_s
-    # adaptive extension: the tunnel's bad phases last minutes and depress
-    # every run in the window ~7x (measured: the same binary recorded
-    # 73 M bp/s and 11 M bp/s three hours apart). If the whole fixed set
-    # landed in a bad phase, run a FIXED number of extra spaced samples
-    # (no result-dependent early exit — a stop-on-threshold rule would
-    # condition the reported best on crossing the threshold) and take the
-    # best of the full, predeclared protocol.
-    base0 = BASELINES.get(kmer_len)
-    extra_budget = float(os.environ.get("BENCH_EXTRA_S", "1200"))
-    if base0 and best / base0 < 100 and extra_budget > 0:
-        log("bad wire phase suspected; running 5 spaced retry samples")
-        for r in range(5):
-            if time.time() - t_runs0 > extra_budget:
-                log("retry budget exhausted")
-                break
-            time.sleep(60)
-            bp_s, header, elapsed = timed_index(fasta, kmer_len, cfg, verify)
-            log(f"retry run {r + 1}/5: bp/s={bp_s:,.0f} "
-                f"elapsed={elapsed:.2f}s")
-            best = max(best, bp_s)
-    bp_s = best
+        return round(bp_s)
+
+    runs, planned = run_schedule(f"K={kmer_len}", n_btb, n_spaced, k15_sample)
     # no silent fallback: a K the reference never published would otherwise
     # be compared against the K=15 figure and report a misleading ratio
     base = BASELINES.get(kmer_len)
-    result = {
-        "metric": f"index_bp_per_s_k{kmer_len}_1chip{tag}",
-        "value": round(bp_s),
-        "unit": "bp/s",
-        "vs_baseline": round(bp_s / base, 2) if base else None,
-    }
+    result["value"] = max(runs)
+    result["vs_baseline"] = round(max(runs) / base, 2) if base else None
+    result["runs"] = runs
+    result["runs_planned"] = planned
 
-    # one verified run: the reference's published bp/s include its always-on
+    # verified runs: the reference's published bp/s include its always-on
     # end-of-run histogram recheck (indexer.py:406-407), so the honest
     # apples-to-apples figure rides along (VERDICT r2 #8)
     if not verify and os.environ.get("BENCH_VERIFIED_RUN", "1") == "1":
-        v_bp_s = None
-        for r in range(2):  # same best-of protection as the main metric
-            bp, _, v_elapsed = timed_index(fasta, kmer_len, cfg, True)
-            log(f"verified run {r + 1}: bp/s={bp:,.0f} "
-                f"elapsed={v_elapsed:.2f}s")
-            v_bp_s = max(v_bp_s or 0, bp)
-        result["verified_bp_per_s"] = round(v_bp_s)
-        if base:
-            result["verified_vs_baseline"] = round(v_bp_s / base, 2)
+        def k15_verified_sample(i, planned):
+            bp, _, el = timed_index(fasta, kmer_len, cfg, True)
+            log(f"verified run {i + 1}/{planned}: bp/s={bp:,.0f} "
+                f"elapsed={el:.2f}s")
+            return round(bp)
 
-    # merge throughput: one full K=15 pair (both planes streamed + device
-    # contingency) vs the reference's 27.0 s/pair wall (741 pairs in
-    # 333m57s, 4 processes — README.md:56-81). TPU only: the 1 GiB-plane
-    # XLA:CPU contingency program is not a measurement target
+        v_runs, _ = run_schedule(f"K={kmer_len} verified", 2, 0,
+                                 k15_verified_sample)
+        result["verified_bp_per_s"] = max(v_runs)
+        result["verified_runs"] = v_runs
+        if base:
+            result["verified_vs_baseline"] = round(max(v_runs) / base, 2)
+
+    # merge throughput: one full K=15 pair (both planes streamed) vs the
+    # reference's 27.0 s/pair wall (741 pairs in 333m57s, 4 processes —
+    # README.md:56-81). TPU only: the 1 GiB-plane XLA:CPU contingency
+    # program is not a measurement target. Best-of-3 (fixed), runs listed.
     if os.environ.get("BENCH_MERGE", "1") == "1" and kmer_len == 15 \
             and jax.default_backend() == "tpu":
         try:
-            result.update(bench_merge_pair(fasta, kmer_len))
+            result.update(bench_merge_pair(fasta, kmer_len, n_runs=3))
         except Exception as exc:
             log(f"merge bench failed: {exc!r}")
             result["merge_error"] = str(exc)[:120]
@@ -246,27 +275,51 @@ def main() -> None:
         except Exception as exc:
             log(f"device-step bench failed: {exc!r}")
 
-    # K=17 row (reference baseline 128,452 bp/s — README.md:50): warm the
+    try:
+        wire_probes.append(wire_probe())
+        log(f"wire probe (mid): {wire_probes[-1]}")
+    except Exception as exc:
+        log(f"wire probe failed: {exc!r}")
+
+    # K=17 rows (reference baseline 128,452 bp/s — README.md:50): warm the
     # K=17 programs + arenas on the tiny fixture first (service steady
-    # state, same as the K=15 preloads above), then one timed run; 17 GiB
-    # outputs deleted afterwards
+    # state, same as the K=15 preloads above); fixed 3+2 spaced schedule
+    # (same protection as K=15 — VERDICT r4 #1), plus a verified best-of-2
+    # row (VERDICT r4 #4); 17 GiB outputs deleted afterwards
     if os.environ.get("BENCH_K17", "1") == "1" and kmer_len == 15 \
-            and jax.default_backend() == "tpu":
+            and jax.default_backend() == "tpu" and budget_left() > 600:
         k17cfg = IndexConfig(kmer_len=17)
         try:
             t0 = time.time()
             create_fasta_index(warm, "warm17", warm, 17, overwrite=True,
                                config=k17cfg, verify=False, verbose=False)
             log(f"K=17 warm run: {time.time() - t0:.1f}s")
-            k17_bp_s = None
-            for r in range(max(1, int(os.environ.get("BENCH_K17_REPEATS",
-                                                     "3")))):
-                bp_s, _, k17_elapsed = timed_index(fasta, 17, k17cfg, verify)
-                log(f"K=17 run {r + 1}: bp/s={bp_s:,.0f} "
-                    f"elapsed={k17_elapsed:.2f}s")
-                k17_bp_s = max(k17_bp_s or 0, bp_s)
-            result["k17_bp_per_s"] = round(k17_bp_s)
-            result["k17_vs_baseline"] = round(k17_bp_s / BASELINES[17], 2)
+
+            def k17_sample(i, planned):
+                bp_s, _, el = timed_index(fasta, 17, k17cfg, verify)
+                log(f"K=17 run {i + 1}/{planned}: bp/s={bp_s:,.0f} "
+                    f"elapsed={el:.2f}s")
+                return round(bp_s)
+
+            k17_runs, k17_planned = run_schedule("K=17", 3, 2, k17_sample)
+            result["k17_bp_per_s"] = max(k17_runs)
+            result["k17_runs"] = k17_runs
+            result["k17_runs_planned"] = k17_planned
+            result["k17_vs_baseline"] = round(max(k17_runs) / BASELINES[17],
+                                              2)
+            if not verify and budget_left() > 300:
+                def k17_verified_sample(i, planned):
+                    bp, _, el = timed_index(fasta, 17, k17cfg, True)
+                    log(f"K=17 verified run {i + 1}/{planned}: "
+                        f"bp/s={bp:,.0f} elapsed={el:.2f}s")
+                    return round(bp)
+
+                v_runs, _ = run_schedule("K=17 verified", 2, 0,
+                                         k17_verified_sample)
+                result["k17_verified_bp_per_s"] = max(v_runs)
+                result["k17_verified_runs"] = v_runs
+                result["k17_verified_vs_baseline"] = round(
+                    max(v_runs) / BASELINES[17], 2)
         except Exception as exc:
             log(f"K=17 bench failed: {exc!r}")
             result["k17_error"] = str(exc)[:120]
@@ -276,6 +329,31 @@ def main() -> None:
                     p = stem + suffix
                     if os.path.exists(p):
                         os.remove(p)
+    elif budget_left() <= 600:
+        result["k17_skipped"] = "clock budget"
+
+    # merge fan-in at the reference's workload shape (N=39 samples, all
+    # pairs — README.md:56-81, 333m57s wall). K=13 planes (64 MiB) keep it
+    # inside the bench budget; the vs_baseline ratio extrapolates bytes-
+    # linearly to K=15 (the engine streams each file once, so cost scales
+    # with total plane bytes — docs/PERFORMANCE.md "Merge fan-in"), which
+    # is CONSERVATIVE: per-dispatch overheads amortise better at K=15.
+    if os.environ.get("BENCH_FANIN", "1") == "1" and kmer_len == 15 \
+            and jax.default_backend() == "tpu" and budget_left() > 240:
+        try:
+            result.update(bench_merge_fanin(bench_dir))
+        except Exception as exc:
+            log(f"merge fan-in bench failed: {exc!r}")
+            result["merge_fanin_error"] = str(exc)[:120]
+    elif budget_left() <= 240:
+        result["merge_fanin_skipped"] = "clock budget"
+
+    try:
+        wire_probes.append(wire_probe())
+        log(f"wire probe (end): {wire_probes[-1]}")
+    except Exception as exc:
+        log(f"wire probe failed: {exc!r}")
+    result["wire_probes_mb_s"] = wire_probes
 
     print(json.dumps(result))
 
@@ -337,8 +415,35 @@ def bench_device_step(kmer_len: int, cfg) -> int:
     return wps
 
 
-def bench_merge_pair(fasta: str, kmer_len: int) -> dict:
-    """Time one full merge pair over the bench index (+ a copy of it)."""
+def wire_probe(n_bytes: int = 32 << 20) -> dict:
+    """Raw tunnel bandwidth, MB/s each way (VERDICT r4 #1: lets any round's
+    recorded ratio be read against its wire weather). One h2d upload + one
+    d2h fetch of an n_bytes uint8 array; the h2d timing includes one scalar
+    sync RPC (~0.1-1 s — this backend's block_until_ready is unreliable,
+    see bench_device_step), so treat h2d as a lower bound in bad phases."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    host = np.random.default_rng(0).integers(
+        0, 255, size=n_bytes, dtype=np.uint8)
+    small = jnp.asarray(host[: 1 << 16])
+    float(small[0])  # settle dispatch path
+    t0 = time.perf_counter()
+    dev = jnp.asarray(host)
+    float(dev[0])
+    h2d = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(dev)
+    d2h = time.perf_counter() - t0
+    assert back[-1] == host[-1]
+    return {"h2d": round(n_bytes / h2d / 1e6, 1),
+            "d2h": round(n_bytes / d2h / 1e6, 1)}
+
+
+def bench_merge_pair(fasta: str, kmer_len: int, n_runs: int = 3) -> dict:
+    """Time one full merge pair over the bench index (+ a copy of it).
+    Fixed best-of-n_runs with the per-run list reported (same weather
+    protection as the index metric — VERDICT r4 #1)."""
     import shutil
 
     from pykmer_tpu.merge import merge
@@ -352,18 +457,82 @@ def bench_merge_pair(fasta: str, kmer_len: int) -> dict:
         # the sibling json records the original input path; merge only needs
         # kmer_len consistency, which copying preserves
     out = os.path.join(os.path.dirname(fasta), "bench_merge")
-    for suffix in (".001-255.kma", ".001-255.kma.json"):
-        if os.path.exists(out + suffix):
-            os.remove(out + suffix)
-    t0 = time.time()
-    merge(out, [kin, kin2], verbose=False)
-    dt = time.time() - t0
     streamed = os.path.getsize(kin) + os.path.getsize(kin2)
-    log(f"merge pair: {dt:.2f}s ({streamed / dt / 1e6:,.0f} MB/s streamed)")
+    times = []
+    for r in range(n_runs):
+        for suffix in (".001-255.kma", ".001-255.kma.json"):
+            if os.path.exists(out + suffix):
+                os.remove(out + suffix)
+        t0 = time.time()
+        merge(out, [kin, kin2], verbose=False)
+        dt = time.time() - t0
+        log(f"merge pair run {r + 1}/{n_runs}: {dt:.2f}s "
+            f"({streamed / dt / 1e6:,.0f} MB/s streamed)")
+        times.append(round(dt, 2))
+    best = min(times)
     return {
-        "merge_pair_s": round(dt, 2),
-        "merge_mb_per_s": round(streamed / dt / 1e6),
-        "merge_vs_baseline": round(27.03 / dt, 2),
+        "merge_pair_s": best,
+        "merge_pair_runs_s": times,
+        "merge_mb_per_s": round(streamed / best / 1e6),
+        "merge_vs_baseline": round(27.03 / best, 2),
+    }
+
+
+def bench_merge_fanin(bench_dir: str, n: int = 39, k: int = 13,
+                      n_bgz: int = 8) -> dict:
+    """The reference's merge headline workload shape: N=39 samples, all
+    741 pairs, through the full merge engine (VERDICT r4 #5). Planes are
+    synthetic K=13 (64 MiB each, 8 of 39 .bgz-compressed) to fit the bench
+    budget; the baseline ratio extrapolates bytes-linearly to the
+    reference's K=15 333m57s run (/root/reference/README.md:56-81) — each
+    file is streamed exactly once, so engine cost scales with total plane
+    bytes (conservative: dispatch overhead amortises better at K=15)."""
+    import sys as _sys
+
+    scripts = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scripts")
+    if scripts not in _sys.path:
+        _sys.path.insert(0, scripts)
+    from bench_merge_fanin import fabricate_kin
+
+    from pykmer_tpu.merge import merge
+
+    d = os.path.join(bench_dir, "merge_fanin")
+    os.makedirs(d, exist_ok=True)
+    kins = []
+    for i in range(n):
+        stem = os.path.join(d, f"s{i:02d}")
+        want_bgz = i < n_bgz
+        existing = f"{stem}.fa.{k:02d}.kin" + (".bgz" if want_bgz else "")
+        if os.path.exists(existing):
+            kins.append(existing)
+        else:
+            kins.append(fabricate_kin(stem, k, seed=1000 + i, bgz=want_bgz))
+    out = os.path.join(d, f"fanin{n}")
+    times = []
+    for r in range(2):  # fixed best-of-2: run 1 pays the one-time in-band
+        # XLA executable load (a long-running service amortises it;
+        # run 2 is the steady-state engine) — both reported
+        for suffix in (".001-255.kma", ".001-255.kma.json"):
+            if os.path.exists(out + suffix):
+                os.remove(out + suffix)
+        t0 = time.time()
+        merge(out, sorted(kins), verbose=False)
+        dt = time.time() - t0
+        log(f"merge fan-in N={n} K={k} run {r + 1}/2: {dt:.1f}s "
+            f"({n * 4**k / dt / 1e6:,.0f} MB/s streamed)")
+        times.append(round(dt, 1))
+    best = min(times)
+    # bytes-linear extrapolation K=13 -> K=15 (x16 plane bytes)
+    extrapolated_k15_s = best * (4**15 / 4**k)
+    baseline_s = 333 * 60 + 57  # reference 39-genome K=15 wall, 4 processes
+    return {
+        "merge_fanin_s": best,
+        "merge_fanin_runs_s": times,
+        "merge_fanin_n": n,
+        "merge_fanin_k": k,
+        "merge_fanin_extrapolated_k15_s": round(extrapolated_k15_s),
+        "merge_fanin_vs_baseline": round(baseline_s / extrapolated_k15_s, 2),
     }
 
 
