@@ -156,6 +156,22 @@ def _make_sharded_accumulate_cached(
     # local indices always fit int32 once n_shards >= 8 even at K=17;
     # keep the code dtype until after the owner split to stay exact
     local_dt = jnp.int32 if local_size <= 2**31 - 1 else jnp.int64
+    if local_dt == jnp.int64 and mesh.devices.flat[0].platform == "tpu":
+        # proven on the real toolchain (tests_hw/test_tpu_sharded.py): the
+        # TPU X64-rewrite pass rejects gathers whose operand exceeds 2^31
+        # elements ("indices exceed 32-bits"), so a >int32 local plane can
+        # never lower. Fail at build time with the fix instead of an
+        # HLO-level compiler error mid-job. (CPU meshes execute int64
+        # gathers fine — the virtual-mesh certification relies on that.)
+        need = 1
+        while fold_size // need > 2**31 - 1:
+            need *= 2
+        raise ValueError(
+            f"sharded accumulate: local plane of {local_size:,} cells "
+            f"(K={kmer_len}, n_shards={n_shards}) exceeds int32 indexing, "
+            f"which TPU lowering rejects — use n_shards >= {need}, or the "
+            f"single-chip indexer whose sub-plane layout stays int32-local"
+        )
 
     from ..ops.encode import canonical_codes_packed, unpack_base_2bit_mask
 
@@ -258,4 +274,11 @@ def _make_sharded_accumulate_cached(
     step_fn.span = span
     step_fn.local_size = local_size
     step_fn.n_shards = n_shards
+    # AOT surface: the underlying jit + shardings, so callers can
+    # .lower(...).compile() the step at production shapes without
+    # allocating the (possibly multi-GB) dense plane — used for compile
+    # warmup and for real-toolchain certification (tests_hw)
+    step_fn.jitted = step_jit
+    step_fn.dense_sharding = dense_sharding
+    step_fn.chunk_sharding = chunk_sharding
     return init_fn, step_fn

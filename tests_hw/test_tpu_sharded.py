@@ -1,0 +1,108 @@
+"""Real-TPU-compiler certification of the SHARDED production programs.
+
+The multi-chip path is functionally certified on virtual CPU meshes
+(tests/test_parallel.py, __graft_entry__.dryrun_multichip), but r4 proved
+that tier cannot catch real-toolchain failures: an int32 reduction of an
+int64 compare crashed the TPU compiler at K>=17 shapes while the CPU
+suite, the 8-device dryrun, and interpret-mode Pallas all stayed green
+(commit 05ad9ab). These tests build the shard_map programs of
+parallel/histogram.py, parallel/encode.py and parallel/compare.py on a
+1-DEVICE mesh on the real chip — exercising Mosaic/XLA:TPU lowering of
+the exact production program structure (sort, searchsorted, bucket
+gather, all_to_all, ppermute, sorted scatter), not the scaling — and
+oracle-check every result (VERDICT r4 #3).
+"""
+
+import numpy as np
+
+from pykmer_tpu.oracle import oracle_canonical_codes, oracle_count_stream
+from pykmer_tpu.parallel import (
+    interleaved_to_flat,
+    make_halo_encode,
+    make_mesh,
+    make_sharded_accumulate,
+    make_sharded_pair_matrix,
+    shard_batch_chunks_packed,
+)
+
+
+def test_sharded_accumulate_k11_hw(rng):
+    """The sharded histogram step compiled by the real TPU toolchain at
+    K=11 must reproduce the gold NumPy counts byte-for-byte."""
+    from pykmer_tpu.ops.encode import chunk_stream
+    from pykmer_tpu.ops.readback import unfold_canonical
+
+    kmer_len = 11
+    seq = rng.integers(0, 5, size=300_000).astype(np.uint8)
+    seq[seq == 4] = 0  # mostly valid
+    seq[::997] = 4  # sparse Ns
+    # a repeated motif so some cells exceed 1 (count semantics, not just
+    # presence)
+    motif = np.tile(rng.integers(0, 4, size=kmer_len).astype(np.uint8), 300)
+    seq = np.concatenate([seq, motif])
+    want_codes = oracle_canonical_codes(seq, kmer_len)
+    want = oracle_count_stream([want_codes], kmer_len, flush_every=10**9)
+
+    mesh = make_mesh(n_shards=1, n_data=1)
+    chunk_windows = 1 << 16
+    init_fn, step_fn = make_sharded_accumulate(mesh, kmer_len, chunk_windows)
+    padded, n_chunks = chunk_stream(seq, kmer_len, chunk_windows)
+    rows = step_fn.rows
+    state = init_fn()
+    for s in range((n_chunks + rows - 1) // rows):
+        chunks = shard_batch_chunks_packed(
+            padded, kmer_len, chunk_windows, rows, s)
+        state = step_fn(state, chunks)
+    dense, nk, maxb = state
+    assert int(maxb) <= step_fn.capacity, "bucket overflow"
+    got = unfold_canonical(interleaved_to_flat(np.asarray(dense)), kmer_len)
+    assert int(nk) == want_codes.shape[0]
+    assert np.array_equal(got, want)
+
+
+def test_sharded_accumulate_k17_envelope_hw():
+    """K=17 sharded on too FEW shards is rejected at build time with the
+    actionable fix, because the real TPU toolchain cannot lower it.
+
+    Discovered by attempting the AOT compile on this chip: XLA's
+    X64-rewrite pass rejects the program with "gather ... indices exceed
+    32-bits" when the local plane exceeds 2^31 cells (8.6 G cells at
+    n_shards=1). The constraint is now enforced at build time
+    (parallel/histogram.py) — this test certifies the envelope boundary
+    against the real backend's platform. Execution semantics of the
+    in-envelope (n_shards>=8) program are certified at full plane size on
+    the virtual mesh (scripts/certify_k17_sharded.py); K>=17 single-chip
+    programs (int64 sort + sub-plane sweeps) compile on this toolchain in
+    test_tpu_oracle.py::test_production_step_programs_compile."""
+    import pytest
+
+    mesh = make_mesh(n_shards=1, n_data=1)
+    with pytest.raises(ValueError, match="n_shards >= 8"):
+        make_sharded_accumulate(mesh, 17, 1 << 18)
+
+
+def test_halo_encode_hw(rng):
+    """parallel/encode's ring-ppermute halo encode on the real chip
+    (1-device ring: the self-permute + last-shard poison path)."""
+    kmer_len = 13
+    shard_len = 4096
+    seq = rng.integers(0, 5, size=shard_len).astype(np.uint8)
+    mesh = make_mesh(n_shards=1, n_data=1)
+    encode = make_halo_encode(mesh, kmer_len, shard_len)
+    got = np.asarray(encode(seq))
+    sentinel = 4**kmer_len
+    want = oracle_canonical_codes(seq, kmer_len)
+    assert np.array_equal(got[got < sentinel], want)
+    assert (got[-(kmer_len - 1):] == sentinel).all()
+
+
+def test_sharded_pair_matrix_hw(rng):
+    """parallel/compare's sharded N x N shared-count matrix on the real
+    chip (int8 V.V^T MXU matmul + psum under shard_map)."""
+    mesh = make_mesh(n_shards=1, n_data=1)
+    n, cells = 6, 1 << 14
+    blocks = rng.integers(0, 9, size=(n, cells)).astype(np.uint8)
+    fn = make_sharded_pair_matrix(mesh, n, cells, min_count=1, max_count=7)
+    got = np.asarray(fn(blocks))
+    v = ((blocks >= 1) & (blocks <= 7)).astype(np.int64)
+    assert np.array_equal(got, v @ v.T)
