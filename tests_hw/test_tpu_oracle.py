@@ -277,3 +277,54 @@ def test_production_step_programs_compile(rng):
             planes, sig = step_b(planes, codes_av)
             assert int(jnp.sum(planes[0][0, :1].astype(jnp.int32))) >= 0
         del codes, codes_av
+
+
+def test_k19_last_subplane_sweep_hw(rng):
+    """The Mosaic-compiled sweep applies int64 K=19 codes to the LAST
+    production sub-plane (base 2^37 - 2^30 — offsets far beyond int32).
+
+    K=19 is beyond the reference's envelope (its dense .kin would be
+    257 GB, /root/reference/README.md:51-52). The full 137 GiB folded
+    plane needs a pod (or the 128-sub-plane streamed sweep), but the
+    K=19-specific device mechanism — ops.pallas_hist.localize_sorted
+    mapping a globally sorted int64 stream onto an int32-indexed 2^30-cell
+    window — runs here at FULL production sub-plane size on the real
+    toolchain. Companion: scripts/certify_k19_sharded.py (virtual mesh:
+    halo encode parity, int64 sort, full-shape AOT lower, range-spanning
+    reduced windows)."""
+    import jax.numpy as jnp
+
+    from pykmer_tpu.ops.histogram import sort_codes_fast
+    from pykmer_tpu.ops.pallas_hist import (
+        MAX_SWEEP_CELLS,
+        accumulate_sorted_pallas,
+        dense_plane_shape,
+        localize_sorted,
+    )
+
+    fold = 4**19 // 2  # 2^37
+    cells = MAX_SWEEP_CELLS  # 2^30: the production sub-plane budget
+    base = fold - cells  # plane 127 of 128
+    codes = rng.integers(0, fold, size=1 << 22, dtype=np.int64)
+    # saturation: one in-window cell hit 300x (> the 255 ceiling)
+    hot = base + 12_345
+    codes = np.concatenate([codes, np.full(300, hot, np.int64)])
+    sorted_codes = sort_codes_fast(jnp.asarray(codes))
+    local = localize_sorted(sorted_codes, base, base + cells)
+    assert local.dtype == jnp.int32
+
+    plane = jnp.zeros(dense_plane_shape(cells), dtype=jnp.uint8)
+    out = accumulate_sorted_pallas(plane, local).reshape(-1)
+
+    in_w = (codes >= base) & (codes < base + cells)
+    uniq, counts = np.unique(codes[in_w] - base, return_counts=True)
+    want = np.minimum(counts, 255).astype(np.uint8)
+    assert uniq.shape[0] > 10_000  # ~2^22/128 uniform hits
+    # compare on-device (a 1 GiB plane readback would ride the tunnel)
+    got = np.asarray(out[jnp.asarray(uniq, dtype=jnp.int32)])
+    assert np.array_equal(got, want)
+    assert int(want.max()) == 255
+    # int32-accumulated reduce (an .astype(int64) materialises 8 GiB);
+    # total <= in-window codes * 255 << 2^31 so int32 cannot wrap
+    total = int(jnp.sum(out, dtype=jnp.int32))
+    assert total == int(want.astype(np.int64).sum()), "stray nonzeros"

@@ -106,3 +106,17 @@ def test_sharded_pair_matrix_hw(rng):
     got = np.asarray(fn(blocks))
     v = ((blocks >= 1) & (blocks <= 7)).astype(np.int64)
     assert np.array_equal(got, v @ v.T)
+
+
+def test_sharded_accumulate_k19_envelope_hw():
+    """K=19's 2^37-cell folded plane demands >= 128 shards on TPU backends
+    (2^37/64 = 2^31 still exceeds int32 local indexing by one) — the build
+    guard names that bound. Beyond-reference: the reference could not run
+    K=19 at all (/root/reference/README.md:51-52); the sharded program
+    itself AOT-lowers at full K=19 plane shapes on the virtual mesh
+    (scripts/certify_k19_sharded.py part C)."""
+    import pytest
+
+    mesh = make_mesh(n_shards=1, n_data=1)
+    with pytest.raises(ValueError, match="n_shards >= 128"):
+        make_sharded_accumulate(mesh, 19, 1 << 18)
