@@ -273,9 +273,15 @@ def create_fasta_index_multihost(
     if byte_split:
         # any exception between staging and the post-read allgather (bad
         # byte slice, decode error on any host, ...) must not leak the
-        # multi-GB staged .inflated.tmp on shared storage (ADVICE r4) —
-        # main best-effort-unlinks it on the error path; the success path
-        # unlinks after the allgather proves every host finished reading
+        # multi-GB staged .inflated.tmp on shared storage (ADVICE r4).
+        # A per-host failure is carried as a FLAG through the post-read
+        # allgather rather than raised immediately: every host reaches the
+        # barrier (a raising non-main host would otherwise strand main at
+        # it forever, leaking the file), main unlinks only after the
+        # allgather proves every host stopped touching the staged file (an
+        # early unlink could ESTALE siblings mid-read on NFS), and then
+        # every host raises the same error uniformly.
+        decode_err = None
         try:
             if bgz_reader is not None:
                 b_lo, b_hi = multihost.host_byte_slice_bgzf(
@@ -302,7 +308,12 @@ def create_fasta_index_multihost(
                 del data
             else:
                 local_stream, my_chroms, my_bp = None, [], 0
+        except Exception as exc:
+            decode_err = f"{type(exc).__name__}: {exc}"
+            local_stream, my_chroms, my_bp = None, [], 0
         except BaseException:
+            # process-fatal (KeyboardInterrupt/SystemExit): the job is
+            # dying, so skip the barrier protocol and clean up best-effort
             if staged_gz is not None and is_main:
                 try:
                     os.unlink(staged_gz)
@@ -313,21 +324,29 @@ def create_fasta_index_multihost(
             if bgz_reader is not None:
                 bgz_reader.close()
                 bgz_reader.pool.shutdown(wait=False)
-        # global record list / totals in pid order == file order
+        # global record list / totals in pid order == file order; doubles
+        # as the done-reading barrier + per-host error broadcast
         gathered = multihost.allgather_small_json(
-            {"chroms": [[n, int(s)] for n, s in my_chroms], "bp": my_bp}
+            {"chroms": [[n, int(s)] for n, s in my_chroms], "bp": my_bp,
+             "err": decode_err}
         )
-        chromosomes = [
-            (n, s) for g in gathered for n, s in g["chroms"]
-        ]
-        total_bp = sum(g["bp"] for g in gathered)
         if staged_gz is not None and is_main:
-            # the allgather above proves every host finished reading its
-            # slice of the staged file
+            # the allgather above proves every host finished with (or
+            # failed out of) its slice of the staged file
             try:
                 os.unlink(staged_gz)
             except OSError:
                 pass
+        errs = [g["err"] for g in gathered if g.get("err")]
+        if errs:
+            raise RuntimeError(
+                f"{input_file}: byte-range decode failed on "
+                f"{len(errs)}/{nproc} host(s): {errs[0]}"
+            )
+        chromosomes = [
+            (n, s) for g in gathered for n, s in g["chroms"]
+        ]
+        total_bp = sum(g["bp"] for g in gathered)
         if not chromosomes:
             raise ValueError(f"{input_file}: no valid k-mers at K={kmer_len}")
     else:

@@ -53,14 +53,12 @@ def fabricate_kin(path_stem: str, kmer_len: int, seed: int,
     return kin
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 39
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 13
-    n_bgz = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    block_size = int(sys.argv[4]) if len(sys.argv) > 4 else None
-    d = os.environ.get("MERGE_BENCH_DIR", "merge_bench_data")
+def ensure_fanin_inputs(d: str, n: int, k: int, n_bgz: int,
+                        verbose: bool = False) -> list:
+    """Fabricate (or reuse cached) N fan-in sample planes under ``d`` —
+    the single owner of the stem/seed naming convention (bench.py's fan-in
+    leg calls this too; keep the convention in one place)."""
     os.makedirs(d, exist_ok=True)
-
     kins = []
     for i in range(n):
         stem = os.path.join(d, f"s{i:02d}")
@@ -70,7 +68,18 @@ def main() -> None:
             kins.append(existing)
             continue
         kins.append(fabricate_kin(stem, k, seed=1000 + i, bgz=want_bgz))
-        print(f"fabricated {kins[-1]}")
+        if verbose:
+            print(f"fabricated {kins[-1]}")
+    return kins
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 39
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    n_bgz = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    block_size = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    d = os.environ.get("MERGE_BENCH_DIR", "merge_bench_data")
+    kins = ensure_fanin_inputs(d, n, k, n_bgz, verbose=True)
 
     import jax
     print(f"backend={jax.default_backend()}", flush=True)

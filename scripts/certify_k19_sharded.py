@@ -2,7 +2,7 @@
 
 The reference could not run K=19 at all: its dense ``.kin`` would be 257 GB
 (``/root/reference/README.md:51-52``). This framework's design can — the
-folded half-space is 2^37 cells (137 GiB uint8), which maps to either a
+folded half-space is 2^37 cells (137 GB = 128 GiB uint8), which maps to a
 >= 128-shard pod (int32 local indexing; the build-time envelope guard in
 ``parallel/histogram.py`` enforces exactly that on TPU backends) or the
 single-chip tuple-of-sub-planes sweep over 128 x 2^30-cell planes streamed

@@ -284,7 +284,7 @@ def test_k19_last_subplane_sweep_hw(rng):
     production sub-plane (base 2^37 - 2^30 — offsets far beyond int32).
 
     K=19 is beyond the reference's envelope (its dense .kin would be
-    257 GB, /root/reference/README.md:51-52). The full 137 GiB folded
+    257 GB, /root/reference/README.md:51-52). The full 137 GB (128 GiB) folded
     plane needs a pod (or the 128-sub-plane streamed sweep), but the
     K=19-specific device mechanism — ops.pallas_hist.localize_sorted
     mapping a globally sorted int64 stream onto an int32-indexed 2^30-cell
