@@ -330,8 +330,57 @@ def test_two_process_gz_input_window_slice(tmp_path, rng, stage):
         assert p.returncode == 0, out
     with open(f"{gz2}.{k:02d}.kin", "rb") as fh:
         assert fh.read() == want
-    assert not os.path.exists(gz2 + ".inflated.tmp")
-    assert not os.path.exists(gz2 + ".inflated.tmp.part")
+    # staged names carry a job tag: {gz}.{K:02d}.{tag}.inflated.tmp(.part)
+    import glob
+
+    assert glob.glob(gz2 + ".*.inflated.tmp*") == []
+
+
+def test_two_process_decode_failure_uniform_error(tmp_path, rng):
+    """A decode failure on ONE host's byte slice must surface the same
+    error on EVERY host — not strand the healthy hosts at the post-read
+    barrier — and must not leak the staged .inflated.tmp (the non-main
+    failure path of the ADVICE-r4 leak class: the per-host failure rides
+    the allgather as a flag, main unlinks after the barrier, then all
+    hosts raise uniformly)."""
+    import glob
+    import gzip
+    import os
+    import subprocess
+    import sys
+
+    from conftest import make_random_fasta
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    k = 5
+    fa = make_random_fasta(str(tmp_path / "gz.fa"), rng, n_records=3,
+                           lengths=(900, 400, 150))
+    gz = fa + ".gz"
+    with open(fa, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+
+    port = _free_port()
+    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
+        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "multihost_worker.py"),
+             str(pid), "2", str(port), gz, str(k), str(1 << 10),
+             "0", "0", "1"],  # inject the failure on the NON-main host
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 7, (p.returncode, out)
+        assert "byte-range decode failed on 1/2 host" in out, out
+        assert "injected decode failure" in out, out
+    # staged inflated sibling cleaned up despite the failure
+    assert glob.glob(gz + ".*.inflated.tmp*") == []
+    # and no output was produced
+    assert not os.path.exists(f"{gz}.{k:02d}.kin")
 
 
 def test_three_process_uneven_records(tmp_path, rng):
