@@ -9,31 +9,32 @@ full K=17 plane size on one process (scripts/certify_k17_sharded.py);
 this script closes the composition: a REAL 2-process `jax.distributed`
 CPU job (4 virtual devices each) builds one K=17 index cooperatively —
 full 2^33-cell folded partials per host, cross-host slab reduce-scatter
-combine, sharded write of the 17 GiB `.kin` — and every touched cell of
-the written file is verified against the pure-Python oracle, without ever
-materialising a 17 GiB reference array.
+combine, sharded write of the 17 GB (4^17 bytes = 16 GiB) `.kin` — and
+every touched cell of the written file is verified against the
+pure-Python oracle, without ever materialising a full-size reference
+array.
 
 Run: python scripts/certify_k17_multihost.py
-(~36 GB peak RAM across the two workers, 17 GiB scratch disk, ~10-20 min)
+(~36 GB peak RAM across the two workers, 17 GB scratch disk, ~10-20 min)
 """
 
 import glob
 import json
 import os
 import shutil
-import socket
-import subprocess
 import sys
 import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import numpy as np
 
+from mh_launch import run_workers  # shared with tests/test_multihost.py
+
 KMER_LEN = 17
-FOLD_SIZE = 4**KMER_LEN // 2
 DATA_SIZE = 4**KMER_LEN
 BASE_LUT = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
@@ -58,34 +59,12 @@ def build_fixture(d: str, rng):
     return fa, records
 
 
-def free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
 def run_job(fa: str, nproc: int = 2) -> None:
-    here = os.path.join(REPO, "tests")
-    port = free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [REPO, here, os.environ.get("PYTHONPATH", "")])}
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
     t0 = time.monotonic()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(here, "multihost_worker.py"),
-             str(pid), str(nproc), str(port), fa, str(KMER_LEN),
-             str(1 << 20)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        )
-        for pid in range(nproc)
-    ]
-    outs = [p.communicate(timeout=3000)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-4000:]
-    assert "worker 0: ok header=yes" in outs[0], outs[0][-2000:]
+    results = run_workers(nproc, [fa, KMER_LEN, 1 << 20], timeout=3000)
+    for rc, out in results:
+        assert rc == 0, out[-4000:]
+    assert "worker 0: ok header=yes" in results[0][1], results[0][1][-2000:]
     print(f"2-process K=17 job: {time.monotonic() - t0:.0f}s", flush=True)
 
 
@@ -112,24 +91,28 @@ def oracle_expected(records):
 
 
 def verify_kin(kin: str, uniq: np.ndarray, vals: np.ndarray) -> None:
-    """Stream the 17 GiB file; every nonzero must sit exactly at an oracle
-    cell with the oracle's value (no 17 GiB reference array needed)."""
+    """Stream the 17 GB file; every nonzero must sit exactly at an oracle
+    cell with the oracle's value (no full-size reference array needed)."""
     t0 = time.monotonic()
     assert os.path.getsize(kin) == DATA_SIZE, os.path.getsize(kin)
     block = 1 << 28
     seen = 0
+    base = 0
     with open(kin, "rb", buffering=0) as fh:
-        for base in range(0, DATA_SIZE, block):
+        while base < DATA_SIZE:
+            # raw FileIO reads may return short: advance by what arrived
             buf = np.frombuffer(fh.read(block), dtype=np.uint8)
+            assert buf.shape[0] > 0, f"EOF at {base:,} of {DATA_SIZE:,}"
             nz = np.flatnonzero(buf)
             lo, hi = np.searchsorted(uniq, [base, base + buf.shape[0]])
             want_idx = uniq[lo:hi] - base
             assert np.array_equal(nz, want_idx), f"cells differ @ {base:,}"
             assert np.array_equal(buf[nz], vals[lo:hi]), f"vals @ {base:,}"
             seen += hi - lo
+            base += buf.shape[0]
     assert seen == uniq.shape[0]
     print(
-        f"streamed verify of {DATA_SIZE / 2**30:.0f} GiB: every cell "
+        f"streamed verify of {DATA_SIZE / 1e9:.0f} GB: every cell "
         f"oracle-exact in {time.monotonic() - t0:.0f}s",
         flush=True,
     )
@@ -154,7 +137,7 @@ def main() -> None:
         verify_kin(kin, uniq, vals)
         assert glob.glob(f"{fa}*.tmp*") == [], "tmp litter"
         print("K=17 MULTI-HOST certification PASSED (2-process job, "
-              "full 2^33-cell folded partials, 17 GiB sharded write)")
+              "full 2^33-cell folded partials, 17 GB sharded write)")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -76,6 +76,9 @@ try:
         verbose=False,
     )
 except Exception as exc:
+    import traceback
+
+    traceback.print_exc()  # keep the stack in the captured output
     print(f"worker {pid}: error {type(exc).__name__}: {exc}", flush=True)
     sys.exit(7)
 print(f"worker {pid}: ok header={'yes' if header is not None else 'no'}",

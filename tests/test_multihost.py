@@ -85,14 +85,8 @@ def test_checkpoint_crash_window_is_atomic(tmp_path, rng):
     clear_shard_checkpoint(tmp)
 
 
-def _free_port():
-    import socket
-
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+# worker-subprocess launch recipe shared with scripts/certify_k17_multihost
+from mh_launch import run_workers  # noqa: E402
 
 
 def test_host_byte_slice_record_aligned(tmp_path, rng):
@@ -149,14 +143,11 @@ def test_two_process_distributed_index(tmp_path, rng):
     to the single-process pipeline, stats fields equal too."""
     import json
     import os
-    import subprocess
-    import sys
 
     from conftest import make_random_fasta
     from pykmer_tpu.config import IndexConfig
     from pykmer_tpu.index import create_fasta_index
 
-    here = os.path.dirname(os.path.abspath(__file__))
     k = 5
 
     # reference: the ordinary single-process build
@@ -176,23 +167,11 @@ def test_two_process_distributed_index(tmp_path, rng):
     with open(fa1, "rb") as src, open(fa2, "wb") as dst:
         dst.write(src.read())
 
-    port = _free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(here, "multihost_worker.py"),
-             str(pid), "2", str(port), fa2, str(k)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
-    assert "worker 0: ok header=yes" in outs[0], outs[0]
-    assert "worker 1: ok header=no" in outs[1], outs[1]
+    results = run_workers(2, [fa2, k])
+    for rc, out in results:
+        assert rc == 0, out
+    assert "worker 0: ok header=yes" in results[0][1], results[0][1]
+    assert "worker 1: ok header=no" in results[1][1], results[1][1]
 
     with open(f"{fa2}.{k:02d}.kin", "rb") as fh:
         got = fh.read()
@@ -230,15 +209,12 @@ def test_two_process_bgz_input_byte_split(tmp_path, rng):
     block index (each host inflates only its slice) — byte-identical to
     the single-process build."""
     import os
-    import subprocess
-    import sys
 
     from conftest import make_random_fasta
     from pykmer_tpu.config import IndexConfig
     from pykmer_tpu.index import create_fasta_index
     from pykmer_tpu.io.bgzf import compress_file
 
-    here = os.path.dirname(os.path.abspath(__file__))
     k = 5
     os.makedirs(str(tmp_path / "a"))
     fa1 = make_random_fasta(str(tmp_path / "a" / "bz.fa"), rng, n_records=3,
@@ -255,21 +231,8 @@ def test_two_process_bgz_input_byte_split(tmp_path, rng):
     with open(bgz1, "rb") as src, open(bgz2, "wb") as dst:
         dst.write(src.read())
 
-    port = _free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(here, "multihost_worker.py"),
-             str(pid), "2", str(port), bgz2, str(k), str(1 << 10)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
+    for rc, out in run_workers(2, [bgz2, k, 1 << 10]):
+        assert rc == 0, out
     with open(f"{bgz2}.{k:02d}.kin", "rb") as fh:
         assert fh.read() == want
 
@@ -286,14 +249,11 @@ def test_two_process_gz_input_window_slice(tmp_path, rng, stage):
     single-process build, and the staged file must be cleaned up."""
     import gzip
     import os
-    import subprocess
-    import sys
 
     from conftest import make_random_fasta
     from pykmer_tpu.config import IndexConfig
     from pykmer_tpu.index import create_fasta_index
 
-    here = os.path.dirname(os.path.abspath(__file__))
     k = 5
     os.makedirs(str(tmp_path / "a"))
     fa1 = make_random_fasta(str(tmp_path / "a" / "gz.fa"), rng, n_records=3,
@@ -312,22 +272,11 @@ def test_two_process_gz_input_window_slice(tmp_path, rng, stage):
     with open(gz1, "rb") as src, open(gz2, "wb") as dst:
         dst.write(src.read())
 
-    port = _free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")]),
-        "PYKMER_TPU_MULTIHOST_GZ_STAGE": stage}
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(here, "multihost_worker.py"),
-             str(pid), "2", str(port), gz2, str(k), str(1 << 10)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
+    results = run_workers(
+        2, [gz2, k, 1 << 10],
+        env_extra={"PYKMER_TPU_MULTIHOST_GZ_STAGE": stage})
+    for rc, out in results:
+        assert rc == 0, out
     with open(f"{gz2}.{k:02d}.kin", "rb") as fh:
         assert fh.read() == want
     # staged names carry a job tag: {gz}.{K:02d}.{tag}.inflated.tmp(.part)
@@ -346,12 +295,9 @@ def test_two_process_decode_failure_uniform_error(tmp_path, rng):
     import glob
     import gzip
     import os
-    import subprocess
-    import sys
 
     from conftest import make_random_fasta
 
-    here = os.path.dirname(os.path.abspath(__file__))
     k = 5
     fa = make_random_fasta(str(tmp_path / "gz.fa"), rng, n_records=3,
                            lengths=(900, 400, 150))
@@ -359,22 +305,9 @@ def test_two_process_decode_failure_uniform_error(tmp_path, rng):
     with open(fa, "rb") as src, gzip.open(gz, "wb") as dst:
         dst.write(src.read())
 
-    port = _free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(here, "multihost_worker.py"),
-             str(pid), "2", str(port), gz, str(k), str(1 << 10),
-             "0", "0", "1"],  # inject the failure on the NON-main host
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        )
-        for pid in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 7, (p.returncode, out)
+    # inject the failure on the NON-main host (trailing worker arg)
+    for rc, out in run_workers(2, [gz, k, 1 << 10, 0, 0, 1]):
+        assert rc == 7, (rc, out)
         assert "byte-range decode failed on 1/2 host" in out, out
         assert "injected decode failure" in out, out
     # staged inflated sibling cleaned up despite the failure
@@ -389,14 +322,11 @@ def test_three_process_uneven_records(tmp_path, rng):
     stay byte-identical."""
     import json
     import os
-    import subprocess
-    import sys
 
     from conftest import make_random_fasta
     from pykmer_tpu.config import IndexConfig
     from pykmer_tpu.index import create_fasta_index
 
-    here = os.path.dirname(os.path.abspath(__file__))
     k = 5
     os.makedirs(str(tmp_path / "a"))
     fa1 = make_random_fasta(str(tmp_path / "a" / "u3.fa"), rng, n_records=2,
@@ -411,21 +341,8 @@ def test_three_process_uneven_records(tmp_path, rng):
     with open(fa1, "rb") as src, open(fa2, "wb") as dst:
         dst.write(src.read())
 
-    port = _free_port()
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
-    env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(here, "multihost_worker.py"),
-             str(pid), "3", str(port), fa2, str(k), str(1 << 10)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        )
-        for pid in range(3)
-    ]
-    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
+    for rc, out in run_workers(3, [fa2, k, 1 << 10]):
+        assert rc == 0, out
     with open(f"{fa2}.{k:02d}.kin", "rb") as fh:
         assert fh.read() == want
     meta1 = json.load(open(f"{fa1}.{k:02d}.kin.json"))
@@ -440,14 +357,11 @@ def test_two_process_crash_resume(tmp_path, rng):
     byte-identical `.kin` (VERDICT r2 #3a: multi-host resumability)."""
     import json
     import os
-    import subprocess
-    import sys
 
     from conftest import make_random_fasta
     from pykmer_tpu.config import IndexConfig
     from pykmer_tpu.index import create_fasta_index
 
-    here = os.path.dirname(os.path.abspath(__file__))
     k = 5
     cw = 1 << 9  # small chunks => several steps per host
 
@@ -465,41 +379,27 @@ def test_two_process_crash_resume(tmp_path, rng):
     with open(fa1, "rb") as src, open(fa2, "wb") as dst:
         dst.write(src.read())
 
-    env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": os.pathsep.join(
-        [os.path.dirname(here), here, os.environ.get("PYTHONPATH", "")])}
-    env.pop("XLA_FLAGS", None)
-
     def launch(abort_after):
-        port = _free_port()
-        procs = [
-            subprocess.Popen(
-                [sys.executable, os.path.join(here, "multihost_worker.py"),
-                 str(pid), "2", str(port), fa2, str(k), str(cw),
-                 "1", str(abort_after)],  # checkpoint every step
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            )
-            for pid in range(2)
-        ]
-        return procs, [p.communicate(timeout=300)[0].decode() for p in procs]
+        # checkpoint every step
+        return run_workers(2, [fa2, k, cw, 1, abort_after])
 
     # run 1: both processes die after their first checkpoint. The first
     # crash tears down the jax.distributed coordinator, so the OTHER
     # process may die from the coordination error before reaching its own
     # checkpoint — any nonzero exit is a valid simulated crash, and resume
     # must cope with a mixed checkpointed/unckeckpointed host set.
-    procs, outs = launch(abort_after=1)
-    for p, out in zip(procs, outs):
-        assert p.returncode != 0, out
-    assert any("simulated crash after checkpoint" in out for out in outs)
+    results = launch(abort_after=1)
+    for rc, out in results:
+        assert rc != 0, out
+    assert any("simulated crash after checkpoint" in out
+               for _, out in results)
     tmp = f"{fa2}.{k:02d}.kin.tmp"
     assert os.path.isdir(f"{tmp}.proc000.ckpt") \
         or os.path.isdir(f"{tmp}.proc001.ckpt"), "no checkpoint written"
 
     # run 2: clean relaunch resumes and completes
-    procs, outs = launch(abort_after=0)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
-    assert "resuming from checkpoint" not in outs[0] or True  # verbose off
+    for rc, out in launch(abort_after=0):
+        assert rc == 0, out
     with open(f"{fa2}.{k:02d}.kin", "rb") as fh:
         got = fh.read()
     assert got == want

@@ -97,9 +97,11 @@ def test_stage_timer_report():
     assert report.count("%") == 2
 
 
-def test_device_trace_and_annotate_noop():
+def test_device_trace_and_annotate_noop(monkeypatch):
     from pykmer_tpu.utils.profiling import annotate, device_trace
 
+    # an ambient PYKMER_TPU_TRACE_DIR would turn this into a real trace
+    monkeypatch.delenv("PYKMER_TPU_TRACE_DIR", raising=False)
     ran = []
     with device_trace(None):  # no log dir anywhere -> plain no-op
         with annotate("span"):
